@@ -1,0 +1,179 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.functions.RegexCaptures
+
+/** Compiles a [[TableDef]] (the reference's CREATE TABLE extraction DSL,
+  * `src/data_model.rs:75-99`) into a single Catalyst `select` over a
+  * DataFrame of raw lines — the scan → relational bridge.
+  *
+  * Design: each declared pattern becomes ONE [[RegexCaptures]] / `split`
+  * column evaluated once per line (the reference's shared pattern bank,
+  * `src/data_model.rs:172-199`); every table column is then a cheap
+  * `element_at` + typed conversion over that shared array. The whole stage
+  * is declarative Catalyst — codegen'd, partition-parallel, and column-
+  * prunable (Catalyst drops unused pattern columns automatically, something
+  * the reference cannot do: it always extracts every declared column).
+  */
+object Extractor {
+
+  /** Reference row-match semantics (`Row::any_result`,
+    * `src/data_model.rs:23-25`): a line produces a row iff at least one
+    * extracted column is non-null; `NOT NULL` columns veto the row when
+    * null (`src/data_model.rs:88-94`).
+    *
+    * @param lines DataFrame with a string column `lineCol` (e.g. from
+    *              `spark.read.text` or any rendered-line column)
+    * @param keepInput also emit the raw line as pseudo-column `input`
+    *                  (reference `src/execution/execution_engine.rs:351`)
+    */
+  def parse(lines: DataFrame, table: TableDef, lineCol: String = "value",
+            keepInput: Boolean = false, carry: Seq[String] = Nil): DataFrame = {
+    val line = col(lineCol)
+
+    // Stage 1: shared pattern bank — one array<string> column per pattern.
+    val usedPatterns = table.columns.flatMap(c => patternNames(c.source)).distinct
+    val capCols: Map[String, String] = usedPatterns.map { p =>
+      p -> s"__cap_$p"
+    }.toMap
+    val withCaps = usedPatterns.foldLeft(lines) { (df, pname) =>
+      val pd = table.pattern(pname)
+      val capture = pd.mode match {
+        case PatternMode.Captures => RegexCaptures(line, pd.regex)
+        // Split: full line inserted at index 0 so parts are 1-based
+        // (reference src/data_model.rs:181-185).
+        case PatternMode.Split => concat(array(line), split(line, pd.regex, -1))
+      }
+      df.withColumn(capCols(pname), capture)
+    }
+
+    // Stage 2: typed column extraction.
+    def groupVal(g: ColumnSource.Group): Column =
+      element_at(col(capCols(g.pattern)), g.group + 1)
+
+    val outCols: Seq[(ColumnDef, Column)] = table.columns.map { c =>
+      val raw: Column = c.source match {
+        case g: ColumnSource.Group =>
+          convertScalar(groupVal(g), c, isRegexBool = true)
+
+        case ColumnSource.MultiGroup(refs) =>
+          val elemT = c.tpe match {
+            case ValueType.ArrayT(e) => e
+            case other => throw new IllegalArgumentException(
+              s"multi-group column ${c.name} must be an array type, got $other")
+          }
+          val elems = refs.map(g => convertTo(groupVal(g), elemT))
+          // NULL iff ALL elements are null (reference src/data_model.rs:236-248).
+          val anyNonNull = elems.map(_.isNotNull).reduce(_ || _)
+          when(anyNonNull, array(elems: _*))
+
+        case ColumnSource.TimestampGroups(refs) =>
+          timestampFromGroups(refs.map(groupVal), c.microseconds)
+
+        case ColumnSource.Json(path) =>
+          val v = get_json_object(line, path)
+          if (c.convert) convertTo(v, c.tpe) // CONVERT: JSON string -> declared type
+          else c.tpe match {
+            case ValueType.ArrayT(e) =>
+              from_json(v, ArrayType(e.spark, containsNull = true))
+            case ValueType.BoolT => try_cast_to(v, BooleanType)
+            case t => convertTo(v, t)
+          }
+      }
+      val trimmed = if (c.trim) trim(raw) else raw
+      val withDefault = c.default match {
+        case Some(d) => coalesce(trimmed, lit(d).cast(c.tpe.spark))
+        case None => trimmed
+      }
+      c -> withDefault.as(c.name)
+    }
+
+    val selected = withCaps.select(
+      (outCols.map(_._2)
+        ++ (if (keepInput) Seq(line.as("input")) else Nil)
+        ++ carry.map(col)): _*)
+
+    // Row matches iff ANY extracted column is non-null.
+    val anyMatch = table.columns.map(c => col(c.name).isNotNull).reduce(_ || _)
+    val vetoes = table.columns.filter(_.notNull).map(c => col(c.name).isNotNull)
+    vetoes.foldLeft(selected.filter(anyMatch))((df, v) => df.filter(v))
+  }
+
+  private def patternNames(s: ColumnSource): Seq[String] = s match {
+    case ColumnSource.Group(p, _) => Seq(p)
+    case ColumnSource.MultiGroup(refs) => refs.map(_.pattern)
+    case ColumnSource.TimestampGroups(refs) => refs.map(_.pattern)
+    case ColumnSource.Json(_) => Nil
+  }
+
+  /** String → declared type, reference `ValueType::parse`
+    * (`src/model.rs:367-394`): failure yields NULL, never an error. */
+  private[graft] def convertTo(s: Column, t: ValueType): Column = t match {
+    case ValueType.TextT => s
+    case ValueType.IntT => try_cast_to(s, LongType)
+    case ValueType.RealT => try_cast_to(s, DoubleType)
+    case ValueType.BoolT => try_cast_to(s, BooleanType)
+    case ValueType.TimestampT =>
+      // reference accepts '%Y-%m-%d %H:%M:%S' (src/model.rs:378-384)
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss"))
+    case ValueType.IntervalT => intervalMicros(s)
+    case ValueType.ArrayT(_) => throw new IllegalArgumentException(
+      "nested array string-parse not supported; use JSON source")
+  }
+
+  /** Regex-sourced scalar: BOOLEAN means *group existence* — always
+    * non-null (reference `src/data_model.rs:339-353`). */
+  private def convertScalar(v: Column, c: ColumnDef, isRegexBool: Boolean): Column =
+    c.tpe match {
+      case ValueType.BoolT if isRegexBool => v.isNotNull
+      case t => convertTo(v, t)
+    }
+
+  /** `H:M:S` → microseconds (reference interval parse `src/model.rs:386-392`). */
+  private def intervalMicros(s: Column): Column = {
+    val p = split(s, ":")
+    when(size(p) === 3,
+      (try_cast_to(element_at(p, 1), LongType) * 3600000000L)
+        + (try_cast_to(element_at(p, 2), LongType) * 60000000L)
+        + (try_cast_to(element_at(p, 3), LongType) * 1000000L))
+  }
+
+  /** Month-name or numeric month (reference `src/data_model.rs:280-296`). */
+  private[graft] def monthNum(m: Column): Column = {
+    val names = Seq("jan", "feb", "mar", "apr", "may", "jun",
+      "jul", "aug", "sep", "oct", "nov", "dec")
+    val byName = names.zipWithIndex.foldLeft(lit(null).cast(IntegerType)) {
+      case (acc, (n, i)) => when(lower(substring(m, 1, 3)) === n, lit(i + 1)).otherwise(acc)
+    }
+    coalesce(try_cast_to(m, IntegerType), byName)
+  }
+
+  /** Compose a timestamp from capture groups in order
+    * year, month, day, hour, minute, second, [fraction]
+    * (reference `src/data_model.rs:249-308`); invalid dates → NULL. */
+  private def timestampFromGroups(gs: Seq[Column], micros: Boolean): Column = {
+    require(gs.length == 6 || gs.length == 7,
+      s"timestamp needs 6-7 groups, got ${gs.length}")
+    val Seq(y, mo, d, h, mi, s) = gs.take(6).map(g => try_cast_to(g, IntegerType))
+      .zipWithIndex.map { case (c, i) => if (i == 1) monthNum(gs(1)) else c }
+    val secFrac: Column = if (gs.length == 7) {
+      val frac = try_cast_to(gs(6), LongType)
+      val fracSecs = if (micros) frac / 1000000.0 else frac / 1000.0
+      try_cast_to(s, DoubleType) + coalesce(fracSecs, lit(0.0))
+    } else try_cast_to(s, DoubleType)
+    try_make_timestamp(y, mo, d, h, mi, secFrac.cast(DecimalType(16, 6)))
+  }
+
+  // ---- small wrappers so the library works whether or not ANSI mode is on.
+  private[graft] def try_cast_to(c: Column, t: DataType): Column =
+    c.try_cast(t)
+  private def try_to_timestamp(c: Column, fmt: Column): Column =
+    org.apache.spark.sql.functions.try_to_timestamp(c, fmt)
+  private def try_make_timestamp(y: Column, mo: Column, d: Column,
+      h: Column, mi: Column, s: Column): Column =
+    org.apache.spark.sql.functions.try_make_timestamp(y, mo, d, h, mi, s)
+}
