@@ -17,8 +17,8 @@ object SparkEntry {
     RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles
 }

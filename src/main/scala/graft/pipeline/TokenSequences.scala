@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic synthesis of the BASELINE input table
+  * `(doc_id:string, tokens:array<int32>, n_tok:int32, source:string)`
+  * (BASELINE.json input_hint) — pure integer arithmetic (31-bit LCG +
+  * xor-shift) so DuckDB can regenerate bit-identical rows for the
+  * driver's oracle, and fully Catalyst-expressed (no UDFs, no RDDs) so
+  * generation itself is partition-parallel and codegen'd at any scale.
+  *
+  * Skew is deliberate: `source` has a hot head (`web` ≈ 45% of rows,
+  * FIXTURES.md §A) to exercise the route stage's salting.
+  */
+object TokenSequences {
+
+  private val M = 2147483648L // 2^31
+  private val A = 1103515245L
+  private val C = 12345L
+  val VocabSize = 50257L
+  val MaxTok = 2048
+
+  private def lcg(x: Column): Column = (x * A + C) % M
+
+  /** xor-shift: breaks the affine-in-j structure of a pure LCG chain. */
+  private def mix(x: Column): Column = x.bitwiseXOR(shiftright(x, 15))
+
+  /** Adds doc_id/tokens/n_tok/source columns derived from a 64-bit
+    * `seqId` column. All arithmetic stays below 2^62 (no overflow in
+    * either engine). */
+  def withSequenceColumns(df: DataFrame, seqId: Column): DataFrame = {
+    val s = (seqId * 131071L + 524287L) % M
+    val r1 = lcg(s)
+    val r2 = lcg(r1)
+    val r3 = lcg(r2)
+    val nTok = (lit(8) + (r1 % 45) * (r2 % 46)).cast(IntegerType)
+    val source = when(r2 % 100 < 45, lit("web"))
+      .when(r2 % 100 < 62, lit("books"))
+      .when(r2 % 100 < 72, lit("code"))
+      .otherwise(concat(lit("src"), (r2 % 17).cast(StringType)))
+    val tokens = transform(sequence(lit(1), nTok),
+      j => (lcg(mix((s + j * 48271L) % M)) % VocabSize).cast(IntegerType))
+    df.withColumn("doc_id", format_string("doc-%012d", seqId))
+      .withColumn("n_tok", nTok)
+      .withColumn("tokens", tokens)
+      .withColumn("source", source)
+      .withColumn("__r3", r3) // routing entropy, dropped by callers
+  }
+
+  /** Oracle-able variant: sequences derived 1:1 from `lineitem` rows so
+    * the driver's DuckDB oracle can regenerate the identical table from
+    * the same parquet. `seq_id` is a row_number over a deterministic
+    * order because (l_orderkey, l_linenumber) repeats in this synthetic
+    * lineitem; the global window is fine at oracle scale — the scale
+    * path is [[synthetic]], whose ids are unique by construction. */
+  def fromLineitem(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(row_number().over(w).cast(LongType).as("seq_id"))
+    withSequenceColumns(li, col("seq_id"))
+      .select("doc_id", "tokens", "n_tok", "source", "__r3")
+  }
+
+  /** Scale variant for bench: n rows straight from `spark.range` —
+    * embarrassingly parallel, zero input IO, any target size. */
+  def synthetic(spark: SparkSession, n: Long, partitions: Int): DataFrame = {
+    val base = spark.range(0, n, 1, partitions).select(col("id").as("seq_id"))
+    withSequenceColumns(base, col("seq_id"))
+      .select("doc_id", "tokens", "n_tok", "source", "__r3")
+  }
+
+  /** The DuckDB SQL prelude regenerating the same table from lineitem —
+    * prepended (as a CTE) to pipeline oracle queries. */
+  val duckdbCte: String =
+    """tokenseq AS (
+      |  SELECT printf('doc-%012d', seq_id) AS doc_id,
+      |         CAST(8 + (r1 % 45) * (r2 % 46) AS INT) AS n_tok,
+      |         list_transform(
+      |           generate_series(1, CAST(8 + (r1 % 45) * (r2 % 46) AS BIGINT)),
+      |           j -> CAST(((xor((s + j * 48271) % 2147483648,
+      |                           ((s + j * 48271) % 2147483648) // 32768)
+      |                       * 1103515245 + 12345) % 2147483648) % 50257 AS INT)
+      |         ) AS tokens,
+      |         CASE WHEN r2 % 100 < 45 THEN 'web'
+      |              WHEN r2 % 100 < 62 THEN 'books'
+      |              WHEN r2 % 100 < 72 THEN 'code'
+      |              ELSE 'src' || CAST(r2 % 17 AS VARCHAR) END AS source,
+      |         ((r2 * 1103515245 + 12345) % 2147483648) AS __r3
+      |  FROM (
+      |    SELECT seq_id, s, ((s * 1103515245 + 12345) % 2147483648) AS r1,
+      |           ((((s * 1103515245 + 12345) % 2147483648) * 1103515245 + 12345) % 2147483648) AS r2
+      |    FROM (
+      |      SELECT (seq_id * 131071 + 524287) % 2147483648 AS s, seq_id
+      |      FROM (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+      |                     l_partkey, l_suppkey) AS seq_id
+      |            FROM lineitem))
+      |  )
+      |)""".stripMargin
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{LogPipeline, TokenSequences}
+
+/** North-rule pipeline queries (BASELINE.json): the full
+  * parse → enrich → route → aggregate flow over the deterministic
+  * token-sequence table, with DuckDB oracles that regenerate the same
+  * table analytically from `lineitem` (see [[TokenSequences.duckdbCte]])
+  * — so the oracle independently validates the whole regex parse stage,
+  * the broadcast enrich, the routing rule, and per-row token-array
+  * equality.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cte(extra: String = ""): String =
+    "WITH " + TokenSequences.duckdbCte +
+      (if (extra.nonEmpty) ", " + extra else "") + "\n"
+
+  /** sink rule shared by Spark (via rendered line shape) and oracle. */
+  private val sinkSql =
+    "CASE WHEN __r3 % 37 = 0 THEN 'audit' WHEN n_tok >= 512 THEN 'bulk' ELSE 'ingest' END"
+
+  val queries: Map[String, Q] = Map(
+    // The generated input table itself (doc_id, tokens, n_tok, source).
+    "q_pipe_tokens" -> ((s, dir) => {
+      TokenSequences.fromLineitem(s, dir)
+        .select("doc_id", "n_tok", "source", "tokens")
+        .orderBy("doc_id")
+    }),
+
+    // render -> regex parse: typed fields + matched-pattern routing key +
+    // month-name timestamp composition, validated against the generating
+    // model (the oracle never touches a regex).
+    "q_pipe_parse" -> ((s, dir) => {
+      val seqs = TokenSequences.fromLineitem(s, dir)
+      val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
+      parsed.select(col("doc_id"), col("sink"), col("source"),
+          col("n_tok").cast(LongType).as("n_tok"),
+          unix_micros(col("event_ts")).as("ts_us"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // + broadcast left-outer enrich: per (sink, region) counts; src13 is
+    // missing from the dimension -> NULL region rows must survive.
+    "q_pipe_enrich" -> ((s, dir) => {
+      val seqs = TokenSequences.fromLineitem(s, dir)
+      val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
+      LogPipeline.enrich(parsed, LogPipeline.sourceDim(s))
+        .groupBy(col("sink"), col("region"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("sum_tok"))
+        .orderBy(col("sink"), col("region"))
+    }),
+
+    // full route stage (salted repartition) -> per-sink aggregates:
+    // the BASELINE "per-sink count parity" gate.
+    "q_pipe_route" -> ((s, dir) => {
+      val seqs = TokenSequences.fromLineitem(s, dir)
+      val routed = LogPipeline.parseEnrichRoute(s, seqs, partitions = 32)
+      routed.groupBy(col("sink"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_tok")).as("sum_tok"),
+          (sum(col("n_tok")) / count(lit(1))).cast(LongType).as("avg_tok"),
+          countDistinct(col("source")).as("nd_src"))
+        .orderBy(col("sink"))
+    }),
+
+    // routed-row token-array equality (BASELINE per-row invariant):
+    // tokens carried through render->parse->route must equal an
+    // independently re-generated table joined on the *extracted* doc_id.
+    "q_pipe_tokeq" -> ((s, dir) => {
+      val seqs = TokenSequences.fromLineitem(s, dir)
+      val routed = LogPipeline.parseEnrichRoute(s, seqs, partitions = 32)
+      val regen = TokenSequences.fromLineitem(s, dir)
+        .select(col("doc_id"), col("tokens").as("tokens_expect"))
+      routed.join(regen, Seq("doc_id"))
+        .groupBy(col("sink"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("tokens_in") === col("tokens_expect"), 1L).otherwise(0L)).as("n_eq"))
+        .orderBy(col("sink"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pipe_tokens" -> (cte() +
+      "SELECT doc_id, n_tok, source, tokens FROM tokenseq ORDER BY doc_id"),
+
+    "q_pipe_parse" -> (cte() + s"""
+      SELECT doc_id, $sinkSql AS sink, source, CAST(n_tok AS BIGINT) AS n_tok,
+        CASE WHEN __r3 % 37 = 0 THEN NULL
+             ELSE epoch_us(make_timestamp(2024,
+               CAST(__r3 // 2419200 % 12 AS INT) + 1,
+               CAST(__r3 % 28 AS INT) + 1,
+               CAST(__r3 // 28 % 24 AS INT),
+               CAST(__r3 // 672 % 60 AS INT),
+               CAST(__r3 // 40320 % 60 AS DOUBLE))) END AS ts_us
+      FROM tokenseq ORDER BY doc_id"""),
+
+    "q_pipe_enrich" -> (cte(LogPipeline.sourceDimSql) + s"""
+      SELECT $sinkSql AS sink, region, count(*) AS n,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tok
+      FROM tokenseq LEFT OUTER JOIN source_dim USING (source)
+      GROUP BY 1, 2 ORDER BY sink, region"""),
+
+    "q_pipe_route" -> (cte() + s"""
+      SELECT sink, count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             CAST(sum(n_tok) // count(*) AS BIGINT) AS avg_tok,
+             count(DISTINCT source) AS nd_src
+      FROM (SELECT $sinkSql AS sink, n_tok, source FROM tokenseq)
+      GROUP BY sink ORDER BY sink"""),
+
+    "q_pipe_tokeq" -> (cte() + s"""
+      SELECT sink, count(*) AS n, count(*) AS n_eq
+      FROM (SELECT $sinkSql AS sink FROM tokenseq)
+      GROUP BY sink ORDER BY sink""")
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{LogPipeline, PipelineJob, TokenSequences}
+import graft.table.ManifestTable
+
+/** North-rule pipeline behavior: per-sink parity, token-array equality,
+  * snapshot commit + resume, left-outer enrich NULLs. */
+class PipelineSpec extends SparkSpec {
+
+  private val N = 5000L
+
+  lazy val seqs = TokenSequences.synthetic(spark, N, partitions = 8).cache()
+
+  test("generator invariants: n_tok = size(tokens), bounded vocab, hot source head") {
+    val bad = seqs.filter(size(col("tokens")) =!= col("n_tok")).count()
+    assert(bad === 0)
+    val tokStats = seqs.select(
+      min(array_min(col("tokens"))), max(array_max(col("tokens")))).head()
+    assert(tokStats.getInt(0) >= 0)
+    assert(tokStats.getInt(1) < TokenSequences.VocabSize)
+    val webShare = seqs.filter(col("source") === "web").count().toDouble / N
+    assert(webShare > 0.35 && webShare < 0.55, s"web share $webShare (expected hot ~0.45)")
+  }
+
+  test("parse recovers every field the render stage encoded (count parity per sink)") {
+    val parsed = LogPipeline.parse(
+      LogPipeline.renderLines(seqs).select(col("line")))
+    assert(parsed.count() === N) // every line matches exactly one pattern
+    // sink rule parity with the generating model
+    val expected = seqs.select(
+      when(col("__r3") % 37 === 0, "audit")
+        .when(col("n_tok") >= 512, "bulk")
+        .otherwise("ingest").as("sink"))
+      .groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = parsed.groupBy("sink").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("enrich is a broadcast left-outer join; unknown source keeps NULL region") {
+    val parsed = LogPipeline.parse(
+      LogPipeline.renderLines(seqs).select(col("line")))
+    val enriched = LogPipeline.enrich(parsed, LogPipeline.sourceDim(spark))
+    assert(enriched.count() === N) // left outer: no row loss
+    // src13 is absent from the dim on purpose
+    assert(enriched.filter(col("source") === "src13" && col("region").isNull).count() ===
+      parsed.filter(col("source") === "src13").count())
+    // plan check: dimension side must be broadcast
+    val plan = enriched.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("routed rows preserve token arrays bit-for-bit (BASELINE invariant)") {
+    val routed = LogPipeline.parseEnrichRoute(spark, seqs, partitions = 8)
+    val regen = TokenSequences.synthetic(spark, N, partitions = 8)
+      .select(col("doc_id"), col("tokens").as("expect"))
+    val joined = routed.join(regen, Seq("doc_id"))
+    assert(joined.count() === N)
+    assert(joined.filter(col("tokens_in") =!= col("expect")).count() === 0)
+  }
+
+  test("snapshot write + commit + time-travel read") {
+    val root = Files.createTempDirectory("mtbl").toString
+    val manifest = PipelineJob.run(spark, seqs, root, snapshotId = 1L, partitions = 8)
+    assert(manifest.sinks.map(_.sink).sorted === Seq("audit", "bulk", "ingest"))
+    assert(manifest.sinks.map(_.rows).sum === N)
+    val table = new ManifestTable(root)
+    assert(table.currentSnapshotId === Some(1L))
+    val ingest = table.read(spark, "ingest")
+    assert(ingest.count() === manifest.sinks.find(_.sink == "ingest").get.rows)
+    val m = PipelineJob.metrics(root, 1L)
+    assert(m.exists(_.rowsRouted === N))
+  }
+
+  test("resume: committed snapshot short-circuits; lost pointer recommits from fragments") {
+    val root = Files.createTempDirectory("mtbl2").toString
+    val m1 = PipelineJob.run(spark, seqs, root, snapshotId = 7L, partitions = 8)
+    // no-op resume returns identical manifest
+    val m2 = PipelineJob.run(spark, seqs, root, snapshotId = 7L, partitions = 8)
+    assert(m1 === m2)
+    // simulate crash after fragments, before commit: delete manifest+pointer
+    Files.delete(Paths.get(root, "_manifests", "7.json"))
+    Files.delete(Paths.get(root, "_current"))
+    val t0 = System.nanoTime()
+    val m3 = PipelineJob.run(spark, seqs, root, snapshotId = 7L, partitions = 8)
+    val resumeSec = (System.nanoTime() - t0) / 1e9
+    assert(m3.sinks.toSet === m1.sinks.toSet)
+    // fragments short-circuit: resume must not recompute the pipeline
+    assert(resumeSec < 5.0, s"resume took ${resumeSec}s — recomputed instead of resuming?")
+  }
+
+  test("second snapshot records parent lineage (time travel)") {
+    val root = Files.createTempDirectory("mtbl3").toString
+    PipelineJob.run(spark, seqs, root, snapshotId = 1L, partitions = 8)
+    val m2 = PipelineJob.run(spark,
+      TokenSequences.synthetic(spark, 100L, partitions = 2), root,
+      snapshotId = 2L, partitions = 2)
+    assert(m2.parentId === Some(1L))
+    val table = new ManifestTable(root)
+    // time-travel: snapshot 1 still reads the old row counts
+    val oldRows = table.manifest(1L).sinks.map(_.rows).sum
+    assert(oldRows === N)
+  }
+}
