@@ -17,8 +17,8 @@ object SparkEntry {
     RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++ TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.SimHash64
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All formulations are shuffle-conscious: candidate generation is
+  * always *blocked* (band buckets / signature chunks / key groups) so no
+  * stage ever materializes the O(n²) pair space — the only joins are
+  * equi-joins on bucket keys, which Spark executes as hash shuffles on
+  * the bucket id.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: keep one row per identical value of `on` (lowest
+    * `keep` wins, deterministic under shuffle — unlike dropDuplicates,
+    * whose survivor is arbitrary). Single hash-shuffle on the digest. */
+  def exact(df: DataFrame, on: Column, keep: Column): DataFrame = {
+    val withKey = df.withColumn("__dig", md5(on.cast(StringType)))
+    val winners = withKey.groupBy(col("__dig"))
+      .agg(min(keep).as("__keep"))
+    withKey.join(winners,
+        withKey("__dig") === winners("__dig") && keep === col("__keep"))
+      .drop("__dig", "__keep")
+  }
+
+  /** Exact-duplicate *groups*: digest -> count, for audit/reporting. */
+  def exactGroups(df: DataFrame, on: Column): DataFrame =
+    df.groupBy(md5(on.cast(StringType)).as("digest"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  // ---------------------------------------------------------------- shingle
+
+  /** Word n-gram shingles from a text column (lowercased, space-split). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(text), "\\s+")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => when(i + n <= size(words),
+          array_join(slice(words, i + 1, lit(n)), " "))),
+      x => x.isNotNull))
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signature: `numHashes` seeded murmur3 minima over the
+    * shingle set — one `array_min(transform(...))` per hash, all inside
+    * whole-stage codegen. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(seed =>
+      array_min(transform(shingleCol, s => hash(s, lit(seed))))): _*)
+
+  /** LSH band keys: signature split into `bands` bands of
+    * `numHashes/bands` rows; two docs land in the same bucket for a band
+    * iff that band of the signature matches exactly. */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"), hash(slice(sig, b * r + 1, r)).as("key"))): _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold.
+    *
+    * Scale shape: explode to (band, key, id) — |docs| × bands rows —
+    * then a self-equi-join on (band, key); candidates are deduped
+    * *before* the (expensive) exact-Jaccard verify, which re-joins the
+    * shingle sets only for candidate ids.
+    */
+  def minhashLsh(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val sh = df.select(id.as("id"), shingles(text, shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val buckets = sig.select(col("id"),
+        explode(bandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = buckets.as("l"); val r = buckets.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key")
+          && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** SimHash near-duplicate pairs: 64-bit signature ([[SimHash64]]),
+    * blocked by the 4 16-bit chunks (pigeonhole: hamming <= 3 implies at
+    * least one identical chunk), verified by exact Hamming distance. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(id.as("id"),
+      SimHash64(split(lower(text), "\\s+")).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"),
+            shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+    val l = chunks.as("l"); val r = chunks.as("r")
+    l.join(r, col("l.c") === col("r.c") && col("l.v") === col("r.v")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        SimHash64.hamming(col("l.sig"), col("r.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard similarity within a blocking key (e.g. same
+    * source / length bucket): never all-pairs, only within-block pairs. */
+  def ngramJaccard(df: DataFrame, id: Column, text: Column, block: Column,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(id.as("id"), block.as("blk"),
+        shingles(text, shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val l = sh.as("l"); val r = sh.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast(DoubleType) /
+          size(array_union(col("l.sh"), col("r.sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * precision via zip_with + aggregate (codegen'd, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast(DoubleType) * v.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Embedding near-duplicates within a blocking key (label / coarse
+    * cluster): cosine >= threshold. The blocking key is what keeps this
+    * linear-ish at 100 TB — global all-pairs cosine is never formed. */
+  def embeddingNearDup(df: DataFrame, id: Column, emb: Column, block: Column,
+      threshold: Double): DataFrame = {
+    val e = df.select(id.as("id"), block.as("blk"), emb.as("emb"))
+    val l = e.as("l"); val r = e.as("r")
+    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("cos", cosine(col("l.emb"), col("r.emb")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos"))
+  }
+}

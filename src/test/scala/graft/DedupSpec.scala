@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Hash-based dedup + similarity operators: validated with planted
+  * near-duplicates (no cross-engine oracle exists for murmur/FNV
+  * signatures — determinism and recall are the contracts). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with planted near-duplicate pairs: (1000,1001) and (2000,2001)
+  // differ by one word; everything else is distinct noise.
+  lazy val corpus = {
+    val noise = (0 until 200).map { i =>
+      val words = (0 until 30).map(j => s"w${i}_$j") // disjoint vocab per doc
+      (i.toLong, words.mkString(" "))
+    }
+    val planted = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (2000L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2001L, "one two three four five six seven eight nine ten eleven thirteen"))
+    (noise ++ planted).toDF("id", "text")
+  }
+
+  test("exact dedup keeps the lowest-id survivor per duplicate text") {
+    val withDups = corpus.union(Seq((9999L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("id", "text"))
+    val out = Dedup.exact(withDups, col("text"), col("id"))
+    assert(out.count() === withDups.count() - 1)
+    assert(out.filter(col("id") === 9999L).count() === 0)
+    assert(out.filter(col("id") === 1000L).count() === 1)
+  }
+
+  test("minhash LSH finds planted near-dup pairs and no noise pairs") {
+    val pairs = Dedup.minhashLsh(corpus, col("id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1000L, 1001L)))
+    assert(pairs.contains((2000L, 2001L)))
+    assert(pairs.forall { case (a, b) => (a >= 1000 && b >= 1000) },
+      s"noise pair leaked: $pairs")
+  }
+
+  test("simhash: identical text -> distance 0; planted near-dups close; blocked pairs verified") {
+    val sig = corpus.select(SimHash64(split(col("text"), "\\s+")).as("s"))
+    assert(sig.distinct().count() > 200 - 5) // signatures mostly unique on noise
+    val pairs = Dedup.simhashPairs(corpus, col("id"), col("text"), maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1000L, 1001L)), s"got $pairs")
+    assert(pairs.contains((2000L, 2001L)), s"got $pairs")
+  }
+
+  test("simhash expression is deterministic and codegen path matches eval path") {
+    val df = Seq("hello world foo bar", "hello world foo baz").toDF("t")
+      .select(SimHash64(split(col("t"), " ")).as("s"))
+    val a = df.collect().map(_.getLong(0))
+    val b = df.collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq)
+    assert(a(0) !== a(1))
+    // hamming of near-identical word sets is small
+    val h = java.lang.Long.bitCount(a(0) ^ a(1))
+    assert(h <= 24, s"hamming $h unexpectedly large")
+  }
+
+  test("ngram jaccard within blocks finds planted pairs with exact scores") {
+    val blocked = corpus.withColumn("blk", when(col("id") >= 1000, 1).otherwise(col("id") % 5))
+    val pairs = Dedup.ngramJaccard(blocked, col("id"), col("text"), col("blk"),
+        shingleN = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // 12-word docs, word trigrams: 10 shingles each, 9 shared
+    // jaccard = 9 / 11
+    assert(m.contains((1000L, 1001L)))
+    assert(math.abs(m((1000L, 1001L)) - 9.0 / 11.0) < 1e-12)
+  }
+
+  test("LSH ANN achieves >=60% recall@5 vs brute force on random embeddings") {
+    // deterministic pseudo-random embeddings, 16 dims, 300 vectors
+    val embs = spark.range(300).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        d => (pmod(hash(col("id"), d), lit(1000)).cast("double") - 500.0) / 500.0).as("emb"))
+    val queries = embs.filter(col("id") < 10)
+    def collectNeighbors(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nn_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = collectNeighbors(Similarity.bruteForceTopK(
+      embs, col("id"), col("emb"), queries, col("id"), col("emb"), k = 5))
+    val approx = collectNeighbors(Similarity.lshTopK(
+      embs, col("id"), col("emb"), queries, col("id"), col("emb"),
+      k = 5, tables = 12, planes = 6))
+    val recalls = exact.map { case (q, nn) =>
+      approx.get(q).map(a => (a & nn).size.toDouble / nn.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 = $mean")
+  }
+
+  test("multimodal decode: batch stage output matches per-row expectation") {
+    val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.decodeFeatures(media, Multimodal.FakeDecoder, partitions = 4)
+      .collect()
+    assert(feats.length === 500)
+    feats.take(20).foreach { f =>
+      assert(f.histogram.sum === f.n_bytes.toLong,
+        s"histogram mass != byte count for ${f.media_id}")
+      assert(f.histogram.length === 8)
+    }
+    assert(feats.map(_.kind).toSet === Set("image", "audio", "video"))
+  }
+}
