@@ -17,8 +17,10 @@ object SparkEntry {
     RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++
+      TextQueries.queries ++ SqlQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++
+      TextQueries.oracles ++ SqlQueries.oracles
 }

@@ -1,0 +1,186 @@
+package graft.sql
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.parse.Extractor
+
+/** The user-facing engine: a drop-in for the reference CLI's capability
+  * surface — register CREATE TABLE extraction DSL, run SELECT queries
+  * over raw text lines (reference `src/main.rs:124-236` lifecycle,
+  * re-expressed as Catalyst plans instead of a per-line interpreter).
+  *
+  * {{{
+  * val eng = new SqlEngine(spark)
+  * eng.addTables("CREATE TABLE connections(line = '...', line[1] => ip TEXT, ...)")
+  * val df = eng.query("SELECT hostname, COUNT() FROM connections GROUP BY hostname",
+  *                    spark.read.text("ftpd.log"))
+  * }}}
+  */
+final class SqlEngine(spark: SparkSession) {
+  private val tables = mutable.LinkedHashMap[String, TableDef]()
+
+  def addTables(ddl: String): Seq[String] = {
+    val defs = Parser.parseTableDefs(ddl)
+    defs.foreach(t => tables(t.name) = t)
+    defs.map(_.name)
+  }
+
+  def tableDef(name: String): TableDef =
+    tables.getOrElse(name, throw new IllegalArgumentException(s"unknown table: $name"))
+
+  /** Run a query. `lines` backs the FROM table; `joinLines` backs the
+    * joined table (defaults to reading the join clause's `::'file'`). */
+  def query(sql: String, lines: DataFrame, joinLines: Option[DataFrame] = None): DataFrame = {
+    val stmt = Parser.parseQuery(sql)
+    val td = tableDef(stmt.from)
+    val fromLines = stmt.fromFile.map(f => spark.read.text(f)).getOrElse(lines)
+    val parsed = Extractor.parse(fromLines.toDF("value"), td,
+      keepInput = true)
+
+    // scope: bare + qualified names for the FROM table, plus `input`
+    var scope: Map[String, Column] = td.columns.map(c => c.name -> col(c.name)).toMap ++
+      td.columns.map(c => s"${td.name}.${c.name}" -> col(c.name)).toMap +
+      ("input" -> col("input"))
+    var projOrder: Seq[String] = td.columns.map(_.name)
+
+    val isAggregate = stmt.groupBy.isDefined || {
+      val t = new Translator(parsed, scope)
+      (stmt.projections.map(_._2) ++ stmt.having.toSeq).exists(e => t.findAggregates(e).nonEmpty)
+    }
+
+    // ------------------------------------------------------------- join
+    val joined: DataFrame = stmt.join match {
+      case None => parsed
+      case Some(jc) =>
+        val jtd = tableDef(jc.table)
+        val jLines = joinLines.orElse(jc.file.map(f => spark.read.text(f))).getOrElse(
+          throw new IllegalArgumentException(s"join table ${jc.table} needs ::'file' or joinLines"))
+        val jParsedRaw = Extractor.parse(jLines.toDF("value"), jtd)
+        // ON validation: one side FROM table, other the joined table (J5)
+        val (fromCol, joinCol) =
+          if (jc.leftColumn._1 == stmt.from && jc.rightColumn._1 == jc.table)
+            (jc.leftColumn._2, jc.rightColumn._2)
+          else if (jc.rightColumn._1 == stmt.from && jc.leftColumn._1 == jc.table)
+            (jc.rightColumn._2, jc.leftColumn._2)
+          else throw new IllegalArgumentException(
+            s"ON must reference ${stmt.from} and ${jc.table}")
+        // prefix joined columns to avoid clashes
+        val jParsed = jtd.columns.foldLeft(jParsedRaw)((df, c) =>
+          df.withColumnRenamed(c.name, s"__j_${c.name}"))
+        // OUTER means LEFT OUTER; under aggregation unmatched rows are
+        // dropped even for OUTER (reference quirk 4)
+        val joinType = if (jc.outer && !isAggregate) "left_outer" else "inner"
+        val out = parsed.join(broadcast(jParsed),
+          parsed(fromCol) === jParsed(s"__j_$joinCol"), joinType)
+        // joined columns: always qualified; bare when not clashing (J4)
+        jtd.columns.foreach { c =>
+          scope += (s"${jtd.name}.${c.name}" -> col(s"__j_${c.name}"))
+          if (!scope.contains(c.name)) {
+            scope += (c.name -> col(s"__j_${c.name}"))
+            projOrder :+= c.name
+          }
+        }
+        out
+    }
+
+    val trans = new Translator(joined, scope)
+    val filtered = stmt.where match {
+      case Some(w) => joined.filter(graft.core.NullSemantics.boolOf(trans.column(w)))
+      case None => joined
+    }
+
+    if (!isAggregate) runSimple(stmt, filtered, trans, projOrder)
+    else runAggregate(stmt, filtered, trans, scope)
+  }
+
+  // ---------------------------------------------------------- simple path
+
+  private def runSimple(stmt: SelectStmt, df: DataFrame, trans: Translator,
+      projOrder: Seq[String]): DataFrame = {
+    val cols = stmt.projections.zipWithIndex.flatMap {
+      case ((_, Expr.Wildcard), _) => projOrder.map(n => trans.column(Expr.ColRef(n)).as(n))
+      case ((alias, e), i) => Seq(trans.column(e).as(alias.getOrElse(defaultName(e, i))))
+    }
+    val selected = df.select(cols: _*)
+    val distincted = if (stmt.distinct) selected.distinct() else selected
+    stmt.limit.map(distincted.limit).getOrElse(distincted)
+  }
+
+  private def defaultName(e: Expr, i: Int): String = e match {
+    case Expr.ColRef(n, _) => n // parser_tree_converter.rs:117-122
+    case Expr.Call(n, _, _) => s"$n$i" // count0, max1, ... (:664,697)
+    case _ => s"p$i"
+  }
+
+  // ------------------------------------------------------- aggregate path
+
+  private def runAggregate(stmt: SelectStmt, df: DataFrame, trans: Translator,
+      scope: Map[String, Column]): DataFrame = {
+    val groupKeys: Seq[Expr] = stmt.groupBy.getOrElse(Nil)
+    val keyAlias: Map[Expr, String] = groupKeys.zipWithIndex
+      .map { case (k, i) => k -> s"__key_$i" }.toMap
+
+    // collect aggregates from projections + having (hidden accumulators,
+    // reference A11)
+    val aggAlias = mutable.LinkedHashMap[Expr.Call, String]()
+    def registerAggs(e: Expr): Unit = trans.findAggregates(e).foreach { c =>
+      if (!aggAlias.contains(c)) aggAlias(c) = s"__agg_${aggAlias.size}"
+    }
+    stmt.projections.foreach { case (_, e) =>
+      val n = trans.findAggregates(e).length
+      if (n > 1) throw new IllegalArgumentException(
+        "at most one aggregate per projection (reference quirk 14)")
+      registerAggs(e)
+    }
+    stmt.having.foreach(registerAggs)
+
+    // pre-project group keys, then hash-aggregate
+    val withKeys = keyAlias.foldLeft(df) { case (d, (k, a)) =>
+      d.withColumn(a, trans.column(k))
+    }
+    val aggCols = aggAlias.map { case (call, a) => trans.aggregateColumn(call).as(a) }.toSeq
+    val grouped =
+      if (groupKeys.isEmpty) withKeys.agg(aggCols.head, aggCols.tail: _*)
+      else withKeys.groupBy(keyAlias.values.toSeq.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+
+    // post-agg scope: key + agg aliases
+    val postScope: Map[String, Column] =
+      (keyAlias.values ++ aggAlias.values).map(a => a -> col(a)).toMap
+    val postTrans = new Translator(grouped, postScope)
+    val replace: Map[Expr, String] =
+      keyAlias.map { case (k, a) => (k: Expr) -> a } ++
+        aggAlias.map { case (c, a) => (c: Expr) -> a }
+
+    val havingFiltered = stmt.having match {
+      case Some(h) =>
+        grouped.filter(graft.core.NullSemantics.boolOf(
+          postTrans.column(trans.rewrite(h, replace))))
+      case None => grouped
+    }
+
+    val outCols = stmt.projections.zipWithIndex.map { case ((alias, e), i) =>
+      val rewritten = trans.rewrite(e, replace)
+      postTrans.column(rewritten).as(alias.getOrElse(defaultName(e, i)))
+    }
+    val selected = havingFiltered.select(outCols: _*)
+
+    // aggregate DISTINCT only fires when HAVING present (quirk 3)
+    val distincted =
+      if (stmt.distinct && stmt.having.isDefined) selected.distinct() else selected
+
+    // BTreeMap iteration order: sorted by group key (SURVEY §2.5 A14).
+    // Sort by the output columns that correspond to group keys.
+    val keyOutputNames = stmt.projections.zipWithIndex.flatMap { case ((alias, e), i) =>
+      if (groupKeys.contains(e)) Some(alias.getOrElse(defaultName(e, i))) else None
+    }
+    val ordered =
+      if (keyOutputNames.nonEmpty) distincted.orderBy(keyOutputNames.map(col): _*)
+      else distincted
+    stmt.limit.map(ordered.limit).getOrElse(ordered)
+  }
+}
