@@ -168,9 +168,16 @@ object Extractor {
     try_make_timestamp(y, mo, d, h, mi, secFrac.cast(DecimalType(16, 6)))
   }
 
-  // ---- small wrappers so the library works whether or not ANSI mode is on.
+  // ---- failure-tolerant conversions. The library requires
+  // spark.sql.ansi.enabled=false (reference parity: bad casts yield NULL,
+  // SURVEY.md §8) — under which plain `cast` is the exception-FREE null-
+  // on-failure path. `try_cast` would give the same *semantics* under
+  // ANSI, but it implements them by throwing and catching
+  // NumberFormatException per failing row; with month-name columns that
+  // fail the numeric cast on EVERY line, fillInStackTrace was 9% of all
+  // executor samples and serialized the 32-core parse stage.
   private[graft] def try_cast_to(c: Column, t: DataType): Column =
-    c.try_cast(t)
+    c.cast(t)
   private def try_to_timestamp(c: Column, fmt: Column): Column =
     org.apache.spark.sql.functions.try_to_timestamp(c, fmt)
   private def try_make_timestamp(y: Column, mo: Column, d: Column,

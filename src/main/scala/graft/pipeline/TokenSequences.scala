@@ -24,9 +24,6 @@ object TokenSequences {
 
   private def lcg(x: Column): Column = (x * A + C) % M
 
-  /** xor-shift: breaks the affine-in-j structure of a pure LCG chain. */
-  private def mix(x: Column): Column = x.bitwiseXOR(shiftright(x, 15))
-
   /** Adds doc_id/tokens/n_tok/source columns derived from a 64-bit
     * `seqId` column. All arithmetic stays below 2^62 (no overflow in
     * either engine). */
@@ -40,8 +37,10 @@ object TokenSequences {
       .when(r2 % 100 < 62, lit("books"))
       .when(r2 % 100 < 72, lit("code"))
       .otherwise(concat(lit("src"), (r2 % 17).cast(StringType)))
-    val tokens = transform(sequence(lit(1), nTok),
-      j => (lcg(mix((s + j * 48271L) % M)) % VocabSize).cast(IntegerType))
+    // token arrays via the codegen'd TokenGen expression — identical math
+    // to the DuckDB oracle CTE below; see TokenGen's scaladoc for why a
+    // transform(sequence(...)) HOF formulation is 'correct but unscalable'
+    val tokens = graft.functions.TokenGen(seqId, nTok)
     df.withColumn("doc_id", format_string("doc-%012d", seqId))
       .withColumn("n_tok", nTok)
       .withColumn("tokens", tokens)

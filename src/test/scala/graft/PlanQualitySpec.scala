@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{LogPipeline, TokenSequences}
+import graft.queries.RelationalQueries
+
+/** Physical-plan quality gates — the 100 TB questions asked of every
+  * operator (builder brief): are filters pushed to the scan, are columns
+  * pruned, are small joins broadcast, does the hot path stay inside
+  * whole-stage codegen, and does the parse stage run each regex ONCE per
+  * line rather than once per extracted column. A plan regression here is
+  * a silent 10-100x at scale even when results stay correct. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("filter + projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
+    val df = RelationalQueries.queries("q_filter_project")(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters: ["), s"no pushdown in:\n$scan")
+    assert(scan.contains("GreaterThan(l_quantity") || scan.contains("l_quantity"),
+      s"quantity filter not pushed:\n$scan")
+    // pruned read: the 11-column lineitem scan must only read the 5
+    // referenced columns
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    val nCols = readSchema.split(",").length
+    assert(nCols <= 5, s"scan reads $nCols cols: $readSchema")
+  }
+
+  test("small-dimension joins are broadcast, not shuffled") {
+    Seq("q_join_inner", "q_join_multi").foreach { q =>
+      val plan = executedPlan(RelationalQueries.queries(q)(spark, dir))
+      assert(plan.contains("BroadcastHashJoin"), s"$q not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q shuffled:\n$plan")
+    }
+  }
+
+  test("grouped aggregation is 2-phase hash (map-side partial combine)") {
+    val plan = executedPlan(RelationalQueries.queries("q1_agg")(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("the parse stage evaluates each regex once per line (shared pattern bank)") {
+    val seqs = TokenSequences.synthetic(spark, 100L, 2)
+    val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
+    val plan = parsed.queryExecution.optimizedPlan.toString()
+    // 3 patterns in the bank -> exactly 3 regex_captures in the optimized
+    // plan; if CollapseProject inlined them per extracted column, this
+    // would be ~14 (one per column reference) = regex recompiled per column
+    val n = "regex_captures".r.findAllIn(plan).length
+    assert(n == 3, s"expected 3 shared regex_captures nodes, found $n:\n$plan")
+  }
+
+  test("parse -> aggregate stays inside whole-stage codegen (no fallback)") {
+    val seqs = TokenSequences.synthetic(spark, 100L, 2)
+    val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
+    val agg = parsed.groupBy(col("sink")).count()
+    agg.collect() // AQE: the final plan (with codegen ids) exists only post-exec
+    val plan = executedPlan(agg)
+    // '*(n)' is the WholeStageCodegen marker in simpleString plans
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen span:\n$plan")
+    // the custom RegexCaptures expression must not force interpreted mode
+    assert(!plan.contains("CodegenFallback"), s"codegen fallback present:\n$plan")
+  }
+
+  test("pipeline enrich broadcasts the dimension and keeps left-outer rows") {
+    val seqs = TokenSequences.synthetic(spark, 1000L, 4)
+    val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
+    val enriched = LogPipeline.enrich(parsed, LogPipeline.sourceDim(spark))
+    val plan = executedPlan(enriched)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"enrich not broadcast left-outer:\n$plan")
+  }
+
+  test("salted route repartitions on (sink, salt) - skew never lands one sink on one task") {
+    val seqs = TokenSequences.synthetic(spark, 1000L, 4)
+    val routed = LogPipeline.parseEnrichRoute(spark, seqs, partitions = 8)
+    val plan = executedPlan(routed)
+    assert(plan.contains("Exchange hashpartitioning(sink"),
+      s"route not hash-partitioned on sink+salt:\n$plan")
+    assert(plan.contains("pmod(hash(doc_id"),
+      s"no salt in partitioning:\n$plan")
+  }
+}
