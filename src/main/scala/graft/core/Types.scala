@@ -72,9 +72,9 @@ object NullSemantics {
     * Input: interval in microseconds. */
   def formatInterval(micros: Column): Column = {
     val totalMs = (micros / 1000L).cast(LongType)
-    val h = totalMs / 3600000L
-    val m = (totalMs % 3600000L) / 60000L
-    val s = (totalMs % 60000L) / 1000L
+    val h = (totalMs / 3600000L).cast(LongType)
+    val m = ((totalMs % 3600000L) / 60000L).cast(LongType)
+    val s = ((totalMs % 60000L) / 1000L).cast(LongType)
     val ms = totalMs % 1000L
     format_string("%02d:%02d:%02d.%03d", h, m, s, ms)
   }

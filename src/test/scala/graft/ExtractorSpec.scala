@@ -147,6 +147,19 @@ class ExtractorSpec extends SparkSpec {
     assert(rows(0).getString(0) === "spaced out")
   }
 
+  test("INTERVAL column: 'H:M:S' parsed to micros; display format HH:MM:SS.mmm") {
+    val tdef = TableDef("iv",
+      Seq(PatternDef("line", "elapsed=(\\S+)")),
+      Seq(ColumnDef("elapsed", ValueType.IntervalT, g(1))))
+    val rows = Extractor.parse(Seq("elapsed=1:02:03", "elapsed=bogus").toDF("value"), tdef)
+      .select(col("elapsed"),
+        graft.core.NullSemantics.formatInterval(col("elapsed")).as("disp"))
+      .collect()
+    assert(rows.length === 1) // 'bogus' -> NULL -> row doesn't match
+    assert(rows(0).getLong(0) === (1L * 3600 + 2 * 60 + 3) * 1000000L)
+    assert(rows(0).getString(1) === "01:02:03.000")
+  }
+
   test("inline ssh fixture: golden group-by counts (integration_tests.rs:60-75 shape)") {
     // synthesize 20 lines over 3 hosts with known counts 3/5/12
     val hosts = Seq.fill(3)("a.com") ++ Seq.fill(5)("b.net") ++ Seq.fill(12)("c.org")
