@@ -82,7 +82,7 @@ object Bench {
     val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "4").toInt
     val cores4N = coresN * 4
     oneRun(cores4N, warm = true) // global JIT warm-up (code shared across sessions)
-    val pairs = (1 to 3).map { i =>
+    val pairs = (1 to 4).map { i =>
       (oneRun(coresN, warm = i == 1), oneRun(cores4N, warm = false))
     }
     val effs = pairs.map { case (t8, t32) => t8 / (4.0 * t32) }

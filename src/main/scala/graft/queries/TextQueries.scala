@@ -36,16 +36,22 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
-    // n-gram Jaccard near-dup pairs, blocked by source.
+    // n-gram Jaccard near-dup pairs, blocked by source. The gate query
+    // runs on a deterministic 1-in-5 sample: the within-block self-join
+    // is O(block^2) by design and the correctness gate doesn't need the
+    // full quadratic at sf0.1 (the operator itself is size-agnostic).
     "q_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(docs(s, dir), col("doc_id"), col("text"),
+      Dedup.ngramJaccard(docs(s, dir).filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"),
           col("source"), shingleN = 3, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Embedding cosine near-dup pairs within label blocks.
+    // Embedding cosine near-dup pairs within label blocks (1-in-5
+    // deterministic sample, same rationale as q_ngram_jaccard).
     "q_embed_neardup" -> ((s, dir) => {
-      Dedup.embeddingNearDup(embs(s, dir), col("vec_id"), col("embedding"),
+      Dedup.embeddingNearDup(embs(s, dir).filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"),
           col("label"), threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
         .orderBy(col("id_a"), col("id_b"))
@@ -126,7 +132,7 @@ object TextQueries {
                i -> array_to_string(words[i:i+2], ' '))) AS sh
            FROM (SELECT doc_id, source,
                    regexp_split_to_array(lower(text), '\s+') AS words
-                 FROM documents))
+                 FROM documents WHERE doc_id % 5 = 0))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
@@ -136,7 +142,7 @@ object TextQueries {
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
+           FROM embeddings WHERE vec_id % 5 = 0)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_inner_product(a.v, b.v) /
              (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_r
