@@ -45,10 +45,11 @@ object TokenGen {
   private final val C = 12345L
   final val Vocab = 50257L
 
-  /** Identical math to TokenSequences / the DuckDB CTE:
+  /** Identical math to TokenSequences / the DuckDB CTE (seqId reduced
+    * mod 2^31 first so arithmetic seq_ids up to 2^53 cannot overflow):
     * u = (s + j*48271) % M; v = u ^ (u >>> 15); t = ((v*A + C) % M) % Vocab. */
   def compute(seqId: Long, nTok: Int): ArrayData = {
-    val s = (seqId * 131071L + 524287L) % M
+    val s = ((seqId % M) * 131071L + 524287L) % M
     val out = new Array[Int](if (nTok < 0) 0 else nTok)
     var j = 1
     while (j <= out.length) {

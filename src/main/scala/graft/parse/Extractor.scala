@@ -48,7 +48,10 @@ object Extractor {
         // (reference src/data_model.rs:181-185).
         case PatternMode.Split => concat(array(line), split(line, pd.regex, -1))
       }
-      df.withColumn(capCols(pname), capture)
+      // OptimizerFence: a nondeterministic field blocks predicate
+      // pushdown through (and collapse of) this projection, pinning the
+      // bank so each pattern runs exactly once per line — see its scaladoc.
+      df.withColumn(capCols(pname), graft.functions.OptimizerFence(capture))
     }
 
     // Stage 2: typed column extraction.
@@ -57,8 +60,15 @@ object Extractor {
 
     val outCols: Seq[(ColumnDef, Column)] = table.columns.map { c =>
       val raw: Column = c.source match {
-        case g: ColumnSource.Group =>
-          convertScalar(groupVal(g), c, isRegexBool = true)
+        case g: ColumnSource.Group => c.tpe match {
+          // BOOLEAN = group existence, but ONLY when the pattern matched
+          // the line at all; on a non-matching line the column is NULL
+          // (-> default) so bool columns neither satisfy any_result nor
+          // dodge NOT NULL vetoes (reference data_model.rs:339-353).
+          case ValueType.BoolT =>
+            when(col(capCols(g.pattern)).isNotNull, groupVal(g).isNotNull)
+          case t => convertTo(groupVal(g), t)
+        }
 
         case ColumnSource.MultiGroup(refs) =>
           val elemT = c.tpe match {
@@ -97,10 +107,12 @@ object Extractor {
         ++ (if (keepInput) Seq(line.as("input")) else Nil)
         ++ carry.map(col)): _*)
 
-    // Row matches iff ANY extracted column is non-null.
+    // Row matches iff ANY extracted column is non-null; NOT NULL columns
+    // veto. This filter may push down to just above the (fenced) pattern
+    // bank, where it references capture-array attributes only — cheap.
     val anyMatch = table.columns.map(c => col(c.name).isNotNull).reduce(_ || _)
     val vetoes = table.columns.filter(_.notNull).map(c => col(c.name).isNotNull)
-    vetoes.foldLeft(selected.filter(anyMatch))((df, v) => df.filter(v))
+    selected.filter(vetoes.foldLeft(anyMatch)(_ && _))
   }
 
   private def patternNames(s: ColumnSource): Seq[String] = s match {
@@ -124,14 +136,6 @@ object Extractor {
     case ValueType.ArrayT(_) => throw new IllegalArgumentException(
       "nested array string-parse not supported; use JSON source")
   }
-
-  /** Regex-sourced scalar: BOOLEAN means *group existence* — always
-    * non-null (reference `src/data_model.rs:339-353`). */
-  private def convertScalar(v: Column, c: ColumnDef, isRegexBool: Boolean): Column =
-    c.tpe match {
-      case ValueType.BoolT if isRegexBool => v.isNotNull
-      case t => convertTo(v, t)
-    }
 
   /** `H:M:S` → microseconds (reference interval parse `src/model.rs:386-392`). */
   private def intervalMicros(s: Column): Column = {

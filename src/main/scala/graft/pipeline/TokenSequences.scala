@@ -25,10 +25,12 @@ object TokenSequences {
   private def lcg(x: Column): Column = (x * A + C) % M
 
   /** Adds doc_id/tokens/n_tok/source columns derived from a 64-bit
-    * `seqId` column. All arithmetic stays below 2^62 (no overflow in
-    * either engine). */
+    * `seqId` column. The first mixing step reduces seqId mod 2^31 before
+    * multiplying so the chain never overflows i64 for ANY 63-bit seqId —
+    * required because [[fromLineitem]] derives ids arithmetically (up to
+    * ~2^53) and DuckDB errors (rather than wraps) on BIGINT overflow. */
   def withSequenceColumns(df: DataFrame, seqId: Column): DataFrame = {
-    val s = (seqId * 131071L + 524287L) % M
+    val s = ((seqId % M) * 131071L + 524287L) % M
     val r1 = lcg(s)
     val r2 = lcg(r1)
     val r3 = lcg(r2)
@@ -50,16 +52,26 @@ object TokenSequences {
 
   /** Oracle-able variant: sequences derived 1:1 from `lineitem` rows so
     * the driver's DuckDB oracle can regenerate the identical table from
-    * the same parquet. `seq_id` is a row_number over a deterministic
-    * order because (l_orderkey, l_linenumber) repeats in this synthetic
-    * lineitem; the global window is fine at oracle scale — the scale
-    * path is [[synthetic]], whose ids are unique by construction. */
+    * the same parquet. `seq_id` is PURE ARITHMETIC over the key columns —
+    * `okey*2^35 + lnum*2^32 + pkey*2^14 + skey` — injective whenever
+    * lnum<8, pkey<2^18, skey<2^14 (true with 10x headroom at every
+    * shipped SF), so generation is fully partition-parallel. The previous
+    * formulation (row_number over a GLOBAL window) funneled every
+    * downstream parse through one `Exchange SinglePartition` task — the
+    * exact plan a 100 TB reviewer rejects; PlanQualitySpec now asserts
+    * its absence. */
   def fromLineitem(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"),
-      col("l_partkey"), col("l_suppkey"))
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(row_number().over(w).cast(LongType).as("seq_id"))
+      .select((col("l_orderkey") * lit(34359738368L) // 2^35
+        + col("l_linenumber") * lit(4294967296L)     // 2^32
+        + col("l_partkey") * lit(16384L)             // 2^14
+        + col("l_suppkey")).cast(LongType).as("seq_id"))
+      // The generator EXPANDS ~200x (4 keys in, ~500-token arrays out), so
+      // partitioning must follow OUTPUT size, not the (tiny) scan: a 10 MB
+      // lineitem file is one scan split, which would serialize the whole
+      // render->parse chain onto one task. Shuffling just the 8-byte
+      // seq_ids costs ~5 MB and parallelizes the expansion across cores.
+      .repartition(spark.sparkContext.defaultParallelism)
     withSequenceColumns(li, col("seq_id"))
       .select("doc_id", "tokens", "n_tok", "source", "__r3")
   }
@@ -93,9 +105,9 @@ object TokenSequences {
       |    SELECT seq_id, s, ((s * 1103515245 + 12345) % 2147483648) AS r1,
       |           ((((s * 1103515245 + 12345) % 2147483648) * 1103515245 + 12345) % 2147483648) AS r2
       |    FROM (
-      |      SELECT (seq_id * 131071 + 524287) % 2147483648 AS s, seq_id
-      |      FROM (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber,
-      |                     l_partkey, l_suppkey) AS seq_id
+      |      SELECT ((seq_id % 2147483648) * 131071 + 524287) % 2147483648 AS s, seq_id
+      |      FROM (SELECT l_orderkey * 34359738368 + l_linenumber * 4294967296
+      |                     + l_partkey * 16384 + l_suppkey AS seq_id
       |            FROM lineitem))
       |  )
       |)""".stripMargin

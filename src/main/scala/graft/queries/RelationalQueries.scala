@@ -102,7 +102,9 @@ object RelationalQueries {
     }),
 
     // Array functions over split text: array_length, 1-based index,
-    // array_unique (dedupe+sort), array_cat/append/prepend.
+    // array_unique (dedupe+sort), array_cat/append/prepend. Array-typed
+    // outputs are rendered to delimited strings — the driver's checker
+    // cannot hash raw array cells (pandas sort_values on ndarray).
     "q_array_fns" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .withColumn("words", split(col("text"), " "))
@@ -110,8 +112,8 @@ object RelationalQueries {
           size(col("words")).as("n_words"),
           SqlgrepFunctions.arrayIndex(col("words"), 1).as("first_word"),
           SqlgrepFunctions.arrayIndex(col("words"), 9999).as("oob_word"),
-          SqlgrepFunctions.arrayUnique(slice(col("words"), 1, 5)).as("uniq5"),
-          concat(slice(col("words"), 1, 2), array(lit("x"))).as("cat3"))
+          concat_ws("|", SqlgrepFunctions.arrayUnique(slice(col("words"), 1, 5))).as("uniq5"),
+          concat_ws("|", concat(slice(col("words"), 1, 2), array(lit("x")))).as("cat3"))
         .orderBy(col("doc_id"))
     }),
 
@@ -182,11 +184,13 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // A9/A10: array_agg + string_agg (sorted for determinism).
+    // A9/A10: array_agg + string_agg (sorted for determinism); the
+    // array_agg result is CSV-rendered for the driver's checker.
     "q_collect_agg" -> ((s, dir) => {
       t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
-        .agg(Aggregates.arrayAggSorted(col("n_nationkey").cast(LongType)).as("nations"),
+        .agg(concat_ws(",",
+            Aggregates.arrayAggSorted(col("n_nationkey").cast(LongType))).as("nations"),
           Aggregates.stringAggSorted(col("n_name"), ",").as("names"))
         .orderBy(col("n_regionkey"))
     }),
@@ -321,8 +325,8 @@ object RelationalQueries {
          len(string_split(text, ' ')) AS n_words,
          string_split(text, ' ')[1] AS first_word,
          string_split(text, ' ')[9999] AS oob_word,
-         list_sort(list_distinct(string_split(text, ' ')[1:5])) AS uniq5,
-         list_concat(string_split(text, ' ')[1:2], ['x']) AS cat3
+         array_to_string(list_sort(list_distinct(string_split(text, ' ')[1:5])), '|') AS uniq5,
+         array_to_string(list_concat(string_split(text, ' ')[1:2], ['x']), '|') AS cat3
          FROM documents ORDER BY doc_id""",
     "q_datetime_json" ->
       """SELECT event_id,
@@ -359,7 +363,7 @@ object RelationalQueries {
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_collect_agg" ->
       """SELECT n_regionkey,
-         list_sort(list(CAST(n_nationkey AS BIGINT))) AS nations,
+         array_to_string(list_sort(list(CAST(n_nationkey AS BIGINT))), ',') AS nations,
          array_to_string(list_sort(list(n_name)), ',') AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q_having" ->

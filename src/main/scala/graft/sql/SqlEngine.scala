@@ -143,10 +143,15 @@ final class SqlEngine(spark: SparkSession) {
       d.withColumn(a, trans.column(k))
     }
     val aggCols = aggAlias.map { case (call, a) => trans.aggregateColumn(call).as(a) }.toSeq
-    val grouped =
-      if (groupKeys.isEmpty) withKeys.agg(aggCols.head, aggCols.tail: _*)
+    // GROUP BY with no aggregate in any projection is legal in the
+    // reference (Aggregate::GroupKey only): aggregate with a discarded
+    // placeholder so the plan is still a hash aggregate over the keys.
+    val effAggCols = if (aggCols.nonEmpty) aggCols else Seq(count(lit(1)).as("__drop"))
+    val grouped0 =
+      if (groupKeys.isEmpty) withKeys.agg(effAggCols.head, effAggCols.tail: _*)
       else withKeys.groupBy(keyAlias.values.toSeq.map(col): _*)
-        .agg(aggCols.head, aggCols.tail: _*)
+        .agg(effAggCols.head, effAggCols.tail: _*)
+    val grouped = if (aggCols.nonEmpty) grouped0 else grouped0.drop("__drop")
 
     // post-agg scope: key + agg aliases
     val postScope: Map[String, Column] =

@@ -78,6 +78,18 @@ class PlanQualitySpec extends SparkSpec {
       s"enrich not broadcast left-outer:\n$plan")
   }
 
+  test("no gate query funnels through a single-partition exchange") {
+    // Round-1 regression guard: TokenSequences.fromLineitem used a GLOBAL
+    // row_number window -> `Exchange SinglePartition` -> every oracle-path
+    // parse ran on ONE task. seq_id is arithmetic now; nothing in any gate
+    // plan may serialize onto a single partition.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = executedPlan(fn(spark, dir))
+      if (plan.contains("Exchange SinglePartition")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"single-partition exchange in: ${offenders.mkString(", ")}")
+  }
+
   test("salted route repartitions on (sink, salt) - skew never lands one sink on one task") {
     val seqs = TokenSequences.synthetic(spark, 1000L, 4)
     val routed = LogPipeline.parseEnrichRoute(spark, seqs, partitions = 8)

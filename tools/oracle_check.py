@@ -15,11 +15,10 @@ import pandas as pd
 import numpy as np
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # NO array normalization: the driver's checker dies in pandas
+    # sort_values on ndarray cells, so this local gate must die the same
+    # way — gate queries must render arrays to strings themselves.
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list/array cells to tuples so sorting/compare works
-    for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main(sf_dir, out_dir):
