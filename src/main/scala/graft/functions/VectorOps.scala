@@ -1,0 +1,194 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector math over embedding columns (`array<float>` or
+  * `array<double>`).
+  *
+  * Why not `aggregate(zip_with(...))`: Spark's higher-order functions
+  * evaluate INTERPRETED — per element they box the lambda variables and
+  * every arithmetic intermediate. On this 32-thread box the resulting
+  * allocation rate made HOF-based token generation scale NEGATIVELY with
+  * parallelism (see [[TokenGen]]'s measurements); cosine over 64-dim
+  * embeddings is the same pattern on the operator that matters most at
+  * 100 TB. These expressions run one tight primitive loop per row with
+  * zero allocation.
+  */
+object VectorOps {
+  private[functions] def isFloatArray(e: Expression): Boolean =
+    e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"expected array<float|double>, got $other")
+    }
+}
+
+/** Deterministic synthetic embedding `(seqId, dims) -> array<float>` in
+  * [-1, 1) — the same LCG chain family as [[TokenGen]], codegen'd, one
+  * primitive allocation per row. Exists so benchmark corpora of millions
+  * of vectors can be generated partition-parallel without the
+  * interpreted `transform(sequence(...))` HOF dominating the very
+  * measurement the ANN bench is trying to take. */
+case class EmbedGen(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "embed_gen"
+
+  override def nullSafeEval(seqId: Any, dims: Any): Any =
+    EmbedGen.compute(seqId.asInstanceOf[Long], dims.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seqId, dims) =>
+      s"${ev.value} = graft.functions.EmbedGen.compute($seqId, $dims);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object EmbedGen {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(seqId: Column, dims: Column): Column =
+    Bridge.column(EmbedGen(Bridge.expression(seqId), Bridge.expression(dims)))
+
+  private final val M = 2147483648L
+
+  def compute(seqId: Long, dims: Int): ArrayData = {
+    val s = ((seqId % M) * 131071L + 524287L) % M
+    val out = new Array[Float](if (dims < 0) 0 else dims)
+    var j = 0
+    while (j < out.length) {
+      val u = (s + (j + 1) * 48271L) % M
+      val v = u ^ (u >>> 15)
+      out(j) = ((((v * 1103515245L + 12345L) % M) % 2000L) - 1000L) / 1000.0f
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Cosine similarity of two vectors in double precision, bit-identical
+  * to the previous `aggregate(zip_with(a, b, *), 0.0, +)` formulation
+  * (same element order, same double accumulation). NULL if either array
+  * is NULL or any traversed element is NULL. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val lF = VectorOps.isFloatArray(left)
+  private lazy val rF = VectorOps.isFloatArray(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], lF, b.asInstanceOf[ArrayData], rF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Double ${ev.value}_r = graft.functions.CosineSim.compute($a, $lF, $b, $rF);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** dot(a,b) / (|a| * |b|); null on null elements (zip_with parity). */
+  def compute(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+}
+
+/** Random-hyperplane LSH signature: `planes` sign bits packed into a
+  * long. The ±1 hyperplane components are a deterministic function of
+  * (table, plane, dim) — splitmix64-style mixing — materialized ONCE per
+  * (table, planes, dims) per JVM into a primitive sign matrix, so the
+  * per-row cost is a pure multiply-add loop (the previous formulation
+  * re-evaluated tables × planes × dims interpreted HOF lambdas per row).
+  * NULL elements contribute 0. */
+case class LshSignature(child: Expression, table: Int, planes: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 62, s"planes must be in [1,62], got $planes")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_signature"
+
+  private lazy val isF = VectorOps.isFloatArray(child)
+
+  override def nullSafeEval(a: Any): Any =
+    LshSignature.compute(a.asInstanceOf[ArrayData], isF, table, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.LshSignature.compute($a, $isF, $table, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSignature {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(emb: Column, table: Int, planes: Int): Column =
+    Bridge.column(LshSignature(Bridge.expression(emb), table, planes))
+
+  /** Deterministic ±1 for (table, plane, dim): splitmix64-ish mix, parity
+    * bit. Public so specs can cross-check the sign material. */
+  def sign(table: Int, plane: Int, dim: Int): Double = {
+    var h = table * 0x9E3779B97F4A7C15L ^ plane * 0xC2B2AE3D27D4EB4FL ^
+      dim * 0x165667B19E3779F9L
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  // (table, planes, dims) -> [plane][dim] sign matrix, built once per JVM.
+  private val signCache = new ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def signs(table: Int, planes: Int, dims: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent((table, planes, dims), { case (t, p, d) =>
+      Array.tabulate(p, d)((pl, di) => sign(t, pl, di))
+    })
+
+  def compute(a: ArrayData, aF: Boolean, table: Int, planes: Int): Long = {
+    val n = a.numElements()
+    val m = signs(table, planes, n)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val row = m(p)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+          proj += x * row(i)
+        }
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

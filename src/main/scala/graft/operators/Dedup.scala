@@ -17,16 +17,19 @@ object Dedup {
 
   // ------------------------------------------------------------------ exact
 
-  /** Exact dedup: keep one row per identical value of `on` (lowest
+  /** Exact dedup: keep ONE row per identical value of `on` (lowest
     * `keep` wins, deterministic under shuffle — unlike dropDuplicates,
-    * whose survivor is arbitrary). Single hash-shuffle on the digest. */
+    * whose survivor is arbitrary). A single hash-shuffle on the digest
+    * plus a per-partition sort; the previous groupBy + join-back
+    * formulation shuffled the full corpus twice and kept BOTH rows on a
+    * (digest, keep) tie. Ties on `keep` within a digest keep exactly one
+    * row (pick is arbitrary among tied rows — pass a unique `keep` for
+    * full determinism). */
   def exact(df: DataFrame, on: Column, keep: Column): DataFrame = {
-    val withKey = df.withColumn("__dig", md5(on.cast(StringType)))
-    val winners = withKey.groupBy(col("__dig"))
-      .agg(min(keep).as("__keep"))
-    withKey.join(winners,
-        withKey("__dig") === winners("__dig") && keep === col("__keep"))
-      .drop("__dig", "__keep")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(on.cast(StringType))).orderBy(keep)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Exact-duplicate *groups*: digest -> count, for audit/reporting. */
@@ -34,6 +37,15 @@ object Dedup {
     df.groupBy(md5(on.cast(StringType)).as("digest"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
+
+  /** Drop rows in over-sized candidate buckets (count window over the
+    * bucket key, partitioning reused by the downstream bucket join). */
+  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+  }
 
   // ---------------------------------------------------------------- shingle
 
@@ -76,13 +88,20 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, id: Column, text: Column,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val sh = df.select(id.as("id"), shingles(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val buckets = sig.select(col("id"),
+    val rawBuckets = sig.select(col("id"),
         explode(bandKeys(col("sig"), numHashes, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Bucket-size cap: one degenerate bucket (empty/boilerplate text
+    // hashing identically) re-quadratizes a block at corpus scale; such
+    // buckets are dropped wholesale (standard boilerplate-suppression —
+    // near-exact duplicates that frequent belong to exact dedup anyway).
+    // The count window shuffles on (band, key) — the same partitioning
+    // the candidate self-join needs, so the exchange is reused.
+    val buckets = capBuckets(rawBuckets, Seq("band", "key"), maxBucket)
     val l = buckets.as("l"); val r = buckets.as("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.key") === col("r.key")
@@ -105,14 +124,16 @@ object Dedup {
     * blocked by the 4 16-bit chunks (pigeonhole: hamming <= 3 implies at
     * least one identical chunk), verified by exact Hamming distance. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = df.select(id.as("id"),
       SimHash64(split(lower(text), "\\s+")).as("sig"))
-    val chunks = sigs.select(col("id"), col("sig"),
+    val rawChunks = sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("c"),
             shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("ck"))
       .select(col("id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+    // same degenerate-bucket cap as minhashLsh (see comment there)
+    val chunks = capBuckets(rawChunks, Seq("c", "v"), maxBucket)
     val l = chunks.as("l"); val r = chunks.as("r")
     l.join(r, col("l.c") === col("r.c") && col("l.v") === col("r.v")
         && col("l.id") < col("r.id"))
@@ -142,14 +163,12 @@ object Dedup {
 
   // ------------------------------------------- embedding cosine near-dup
 
-  /** Cosine similarity of two float-array columns, computed in double
-    * precision via zip_with + aggregate (codegen'd, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u.cast(DoubleType) * v.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float-array columns in double precision —
+    * a single codegen'd expression ([[graft.functions.CosineSim]]); the
+    * previous `aggregate(zip_with(...))` formulation evaluated
+    * INTERPRETED per element and scaled negatively at 32 threads. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   /** Embedding near-duplicates within a blocking key (label / coarse
     * cluster): cosine >= threshold. The blocking key is what keeps this

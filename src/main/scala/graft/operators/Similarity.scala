@@ -37,24 +37,13 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for
-    * (table, plane, dim) — expressed in Catalyst so signatures are
-    * computed scan-side with no driver data. */
-  private def planeSign(table: Int, plane: Int, dim: Column): Column =
-    when(pmod(hash(lit(table), lit(plane), dim), lit(2)) === 0, lit(1.0))
-      .otherwise(lit(-1.0))
-
-  /** Random-hyperplane signature: `planes` sign bits packed into a long. */
-  def lshSignature(emb: Column, table: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast(DoubleType) * planeSign(table, p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Random-hyperplane signature: `planes` sign bits packed into a long —
+    * one codegen'd expression ([[graft.functions.LshSignature]]) whose
+    * ±1 plane components are materialized once per JVM; the previous
+    * formulation evaluated tables × planes × dims interpreted HOF
+    * lambdas PER ROW, which dominates everything at scale. */
+  def lshSignature(emb: Column, table: Int, planes: Int): Column =
+    graft.functions.LshSignature(emb, table, planes)
 
   /** LSH-bucketed ANN: `tables` independent hash tables of `planes`
     * hyperplanes each; a corpus row is a candidate for a query iff they

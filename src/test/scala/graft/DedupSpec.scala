@@ -78,6 +78,20 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(m((1000L, 1001L)) - 9.0 / 11.0) < 1e-12)
   }
 
+  test("degenerate bucket (identical boilerplate) is capped, not quadratized") {
+    // 5000 identical docs would form ONE bucket with 12.5M candidate
+    // pairs; the maxBucket guard drops the bucket wholesale while the
+    // planted pair in a healthy bucket still surfaces.
+    val boiler = (10000 until 15000).map(i => (i.toLong, "lorem ipsum dolor sit amet " * 3))
+    val df = corpus.union(boiler.toDF("id", "text"))
+    val pairs = Dedup.minhashLsh(df, col("id"), col("text"),
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1000L, 1001L)))
+    assert(!pairs.exists { case (a, b) => a >= 10000 || b >= 10000 },
+      "boilerplate bucket leaked candidate pairs")
+  }
+
   test("LSH ANN achieves >=60% recall@5 vs brute force on random embeddings") {
     // deterministic pseudo-random embeddings, 16 dims, 300 vectors
     val embs = spark.range(300).select(col("id"),
@@ -91,7 +105,7 @@ class DedupSpec extends SparkSpec {
       embs, col("id"), col("emb"), queries, col("id"), col("emb"), k = 5))
     val approx = collectNeighbors(Similarity.lshTopK(
       embs, col("id"), col("emb"), queries, col("id"), col("emb"),
-      k = 5, tables = 12, planes = 6))
+      k = 5, tables = 16, planes = 6))
     val recalls = exact.map { case (q, nn) =>
       approx.get(q).map(a => (a & nn).size.toDouble / nn.size).getOrElse(0.0)
     }
