@@ -35,14 +35,27 @@ object SqlgrepFunctions {
   def arrayIndex(a: Column, i: Int): Column = try_element_at(a, lit(i))
 
   /** `expr::int` on an interval: whole seconds
-    * (reference `src/execution/expression_execution.rs:541-546`).
-    * Interval is carried as microseconds. */
+    * (reference `src/execution/expression_execution.rs:539-541`,
+    * chrono `num_seconds` truncates toward zero, as does Spark's
+    * long division). Interval is carried as microseconds. */
   def intervalToIntSeconds(micros: Column): Column =
-    (micros / 1000000L).cast(LongType)
+    (micros.cast(DoubleType) / 1e6).cast(LongType)
 
-  /** `expr::real` on an interval: fractional seconds. */
+  /** `expr::real` on an interval: fractional seconds at MILLISECOND
+    * resolution — the reference computes `num_milliseconds() / 1000.0`
+    * (`expression_execution.rs:542-544`), so sub-ms micros truncate. */
   def intervalToRealSeconds(micros: Column): Column =
-    micros.cast(DoubleType) / 1e6
+    (micros.cast(DoubleType) / 1e3).cast(LongType).cast(DoubleType) / 1000.0
+
+  /** `'H:M:S'::interval` — ValueType::parse (`src/model.rs:386-392`):
+    * failure yields NULL. */
+  def parseInterval(s: Column): Column = {
+    val p = split(s, ":")
+    when(size(p) === 3,
+      (p.getItem(0).cast(LongType) * 3600000000L)
+        + (p.getItem(1).cast(LongType) * 60000000L)
+        + (p.getItem(2).cast(LongType) * 1000000L))
+  }
 
   /** `EXTRACT(part FROM ts)` — reference parts: epoch (float secs),
     * year, month, day, hour, minute, second

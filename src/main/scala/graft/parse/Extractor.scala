@@ -132,18 +132,9 @@ object Extractor {
     case ValueType.TimestampT =>
       // reference accepts '%Y-%m-%d %H:%M:%S' (src/model.rs:378-384)
       try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss"))
-    case ValueType.IntervalT => intervalMicros(s)
+    case ValueType.IntervalT => graft.functions.SqlgrepFunctions.parseInterval(s)
     case ValueType.ArrayT(_) => throw new IllegalArgumentException(
       "nested array string-parse not supported; use JSON source")
-  }
-
-  /** `H:M:S` → microseconds (reference interval parse `src/model.rs:386-392`). */
-  private def intervalMicros(s: Column): Column = {
-    val p = split(s, ":")
-    when(size(p) === 3,
-      (try_cast_to(element_at(p, 1), LongType) * 3600000000L)
-        + (try_cast_to(element_at(p, 2), LongType) * 60000000L)
-        + (try_cast_to(element_at(p, 3), LongType) * 1000000L))
   }
 
   /** Month-name or numeric month (reference `src/data_model.rs:280-296`). */

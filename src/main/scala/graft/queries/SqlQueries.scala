@@ -19,6 +19,11 @@ object SqlQueries {
       |    line[2] => doc TEXT,
       |    line[3] => src TEXT,
       |    line[4] => n INT
+      |);
+      |CREATE TABLE durlog(
+      |    line = 'dur (doc-\\d+) took (\\d+:\\d+:\\d+)',
+      |    line[1] => doc TEXT,
+      |    line[2] => took INTERVAL
       |);""".stripMargin
 
   private def engine(s: SparkSession): SqlEngine = {
@@ -51,7 +56,24 @@ object SqlQueries {
     "q_sql_having" -> ((s, dir) =>
       engine(s).query(
         "SELECT src, COUNT() AS n_rows FROM seqlog WHERE n < 256 GROUP BY src HAVING COUNT() > 500",
-        lines(s, dir)))
+        lines(s, dir))),
+
+    // P10/E2 intervals end-to-end: 'H:M:S' regex-extracted as INTERVAL,
+    // compared and cast (::int whole seconds, ::real ms-resolution
+    // fractional seconds, ::text HH:MM:SS.mmm Display) — the oracle
+    // recomputes all three arithmetically from the generating model.
+    "q_sql_interval" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.LongType
+      val seqs = TokenSequences.fromLineitem(s, dir)
+      val durLines = seqs.select(format_string("dur %s took %02d:%02d:%02d",
+        col("doc_id"), col("n_tok") % 24, col("__r3") % 60,
+        (col("__r3") / 60).cast(LongType) % 60).as("line"))
+      engine(s).query(
+        "SELECT doc, took::int AS secs, took::real AS secs_r, took::text AS disp " +
+          "FROM durlog WHERE took::int >= 43200", durLines)
+        .orderBy(col("doc"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -64,6 +86,14 @@ object SqlQueries {
          FROM ingest GROUP BY src ORDER BY src"""),
     "q_sql_having" -> (cte +
       """SELECT src, count(*) AS n_rows FROM ingest WHERE n < 256
-         GROUP BY src HAVING count(*) > 500 ORDER BY src""")
+         GROUP BY src HAVING count(*) > 500 ORDER BY src"""),
+    "q_sql_interval" -> ("WITH " + TokenSequences.duckdbCte + """
+      SELECT doc_id AS doc,
+        CAST((n_tok % 24) * 3600 + (__r3 % 60) * 60 + ((__r3 // 60) % 60) AS BIGINT) AS secs,
+        CAST((n_tok % 24) * 3600 + (__r3 % 60) * 60 + ((__r3 // 60) % 60) AS DOUBLE) AS secs_r,
+        printf('%02d:%02d:%02d.000', n_tok % 24, __r3 % 60, (__r3 // 60) % 60) AS disp
+      FROM tokenseq
+      WHERE (n_tok % 24) * 3600 + (__r3 % 60) * 60 + ((__r3 // 60) % 60) >= 43200
+      ORDER BY doc""")
   )
 }

@@ -20,6 +20,11 @@ import graft.parse.Extractor
   *                    spark.read.text("ftpd.log"))
   * }}}
   */
+/** Per-query execution statistics (reference `--show-run-stats`,
+  * `src/executor.rs:12-36`). */
+final case class RunStats(seconds: Double, linesProcessed: Long,
+    bytesProcessed: Long, rowsMatched: Long)
+
 final class SqlEngine(spark: SparkSession) {
   private val tables = mutable.LinkedHashMap[String, TableDef]()
 
@@ -34,17 +39,71 @@ final class SqlEngine(spark: SparkSession) {
 
   /** Run a query. `lines` backs the FROM table; `joinLines` backs the
     * joined table (defaults to reading the join clause's `::'file'`). */
-  def query(sql: String, lines: DataFrame, joinLines: Option[DataFrame] = None): DataFrame = {
-    val stmt = Parser.parseQuery(sql)
+  def query(sql: String, lines: DataFrame, joinLines: Option[DataFrame] = None): DataFrame =
+    runSelect(Parser.parseQuery(sql), lines, joinLines)
+
+  /** Execute a possibly MULTI-statement input (reference
+    * `Statement::Multiple`, `src/model.rs:58-63` executed at
+    * `src/main.rs:141-144`): CREATE TABLE statements register their
+    * tables in order, each SELECT runs against `lines` with the tables
+    * registered so far; the last SELECT's DataFrame is returned (None for
+    * pure DDL). */
+  def execute(input: String, lines: DataFrame,
+      joinLines: Option[DataFrame] = None): Option[DataFrame] = {
+    def flatten(s: Statement): Seq[Statement] = s match {
+      case Statement.Multiple(ss) => ss.flatMap(flatten)
+      case other => Seq(other)
+    }
+    var last: Option[DataFrame] = None
+    flatten(Parser.parse(input)).foreach {
+      case Statement.CreateTable(td) => tables(td.name) = td
+      case Statement.Select(sel) => last = Some(runSelect(sel, lines, joinLines))
+      case Statement.Multiple(_) => () // unreachable after flatten
+    }
+    last
+  }
+
+  /** Like [[query]] but with the reference's `--show-run-stats` surface
+    * (`src/executor.rs:12-36`, printed at `src/main.rs:210-216`): input
+    * lines / bytes ingested and result rows, collected via `observe`
+    * metrics on the running plan — zero extra passes. Trigger an action
+    * on the returned DataFrame first; the thunk then yields the stats
+    * (it blocks until the action completes). */
+  def queryWithStats(sql: String, lines: DataFrame,
+      joinLines: Option[DataFrame] = None): (DataFrame, () => RunStats) = {
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
+    val t0 = System.nanoTime()
+    val inCol = col(lines.columns.head)
+    val observedIn = lines.observe(obsIn,
+      count(lit(1)).as("lines"),
+      coalesce(sum(length(inCol).cast("long")), lit(0L)).as("bytes"))
+    val out = runSelect(Parser.parseQuery(sql), observedIn, joinLines)
+      .observe(obsOut, count(lit(1)).as("rows"))
+    val stats = () => RunStats(
+      seconds = (System.nanoTime() - t0) / 1e9,
+      linesProcessed = obsIn.get("lines").asInstanceOf[Long],
+      bytesProcessed = obsIn.get("bytes").asInstanceOf[Long],
+      rowsMatched = obsOut.get("rows").asInstanceOf[Long])
+    (out, stats)
+  }
+
+  private def runSelect(stmt: SelectStmt, lines: DataFrame,
+      joinLines: Option[DataFrame]): DataFrame = {
     val td = tableDef(stmt.from)
     val fromLines = stmt.fromFile.map(f => spark.read.text(f)).getOrElse(lines)
     val parsed = Extractor.parse(fromLines.toDF("value"), td,
       keepInput = true)
 
-    // scope: bare + qualified names for the FROM table, plus `input`
+    // scope: bare + qualified names for the FROM table, plus `input`;
+    // the parallel ValueType map lets the Translator see INTERVAL (which
+    // is indistinguishable from INT at the Spark-type level)
     var scope: Map[String, Column] = td.columns.map(c => c.name -> col(c.name)).toMap ++
       td.columns.map(c => s"${td.name}.${c.name}" -> col(c.name)).toMap +
       ("input" -> col("input"))
+    var typeScope: Map[String, ValueType] = td.columns.map(c => c.name -> c.tpe).toMap ++
+      td.columns.map(c => s"${td.name}.${c.name}" -> c.tpe).toMap +
+      ("input" -> ValueType.TextT)
     var projOrder: Seq[String] = td.columns.map(_.name)
 
     val isAggregate = stmt.groupBy.isDefined || {
@@ -79,15 +138,17 @@ final class SqlEngine(spark: SparkSession) {
         // joined columns: always qualified; bare when not clashing (J4)
         jtd.columns.foreach { c =>
           scope += (s"${jtd.name}.${c.name}" -> col(s"__j_${c.name}"))
+          typeScope += (s"${jtd.name}.${c.name}" -> c.tpe)
           if (!scope.contains(c.name)) {
             scope += (c.name -> col(s"__j_${c.name}"))
+            typeScope += (c.name -> c.tpe)
             projOrder :+= c.name
           }
         }
         out
     }
 
-    val trans = new Translator(joined, scope)
+    val trans = new Translator(joined, scope, typeScope)
     val filtered = stmt.where match {
       case Some(w) => joined.filter(graft.core.NullSemantics.boolOf(trans.column(w)))
       case None => joined
@@ -153,10 +214,18 @@ final class SqlEngine(spark: SparkSession) {
         .agg(effAggCols.head, effAggCols.tail: _*)
     val grouped = if (aggCols.nonEmpty) grouped0 else grouped0.drop("__drop")
 
-    // post-agg scope: key + agg aliases
+    // post-agg scope: key + agg aliases (interval-ness carries through
+    // group keys and MIN/MAX/SUM so e.g. MAX(dur)::text still formats)
     val postScope: Map[String, Column] =
       (keyAlias.values ++ aggAlias.values).map(a => a -> col(a)).toMap
-    val postTrans = new Translator(grouped, postScope)
+    val postTypes: Map[String, ValueType] =
+      keyAlias.collect { case (k, a) if trans.isInterval(k) =>
+        a -> (ValueType.IntervalT: ValueType) }.toMap ++
+      aggAlias.collect { case (c, a)
+        if Set("min", "max", "sum").contains(c.name) && c.args.nonEmpty &&
+          trans.isInterval(c.args.head) =>
+        a -> (ValueType.IntervalT: ValueType) }
+    val postTrans = new Translator(grouped, postScope, postTypes)
     val replace: Map[Expr, String] =
       keyAlias.map { case (k, a) => (k: Expr) -> a } ++
         aggAlias.map { case (c, a) => (c: Expr) -> a }

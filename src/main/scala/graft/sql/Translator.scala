@@ -16,8 +16,10 @@ import graft.functions.{Aggregates, SqlgrepFunctions}
   * iteration order); aggregate-level DISTINCT only fires when HAVING is
   * present; one aggregate per projection.
   */
-final class Translator(base: DataFrame, scope: Map[String, Column]) {
+final class Translator(base: DataFrame, scope: Map[String, Column],
+    types: Map[String, graft.core.ValueType] = Map.empty) {
   import Expr._
+  import graft.core.ValueType
 
   private val aggregateNames = Set("count", "min", "max", "sum", "avg",
     "stddev", "variance", "percentile", "bool_and", "bool_or",
@@ -31,6 +33,35 @@ final class Translator(base: DataFrame, scope: Map[String, Column]) {
     case _: LongType | _: IntegerType | _: ShortType | _: ByteType => true
     case _ => false
   }
+
+  // ------------------------------------------------------- interval typing
+
+  /** INTERVAL is carried as LongType micros, indistinguishable from INT
+    * at the Spark-type level — this IS the type probe for it, walking the
+    * sqlgrep AST with the declared column ValueTypes (reference carries
+    * Value::Interval at runtime; we resolve it statically). Interval
+    * arises from: a declared INTERVAL column, `ts - ts`,
+    * interval ± interval, `x::interval`, and MIN/MAX/SUM/greatest/least/
+    * CASE over intervals. */
+  def isInterval(e: Expr): Boolean = e match {
+    case ColRef(n, None) => types.get(n).contains(ValueType.IntervalT)
+    case ColRef(n, Some(q)) =>
+      types.get(s"$q.$n").orElse(types.get(n)).contains(ValueType.IntervalT)
+    case Cast(_, t) => t.equalsIgnoreCase("interval")
+    case Bin("-", l, r) =>
+      (isTimestamp(l) && isTimestamp(r)) || (isInterval(l) && isInterval(r))
+    case Bin("+", l, r) => isInterval(l) && isInterval(r)
+    case Neg(x) => isInterval(x)
+    case Call(n, args, _)
+      if Set("min", "max", "sum", "greatest", "least").contains(n) =>
+      args.nonEmpty && isInterval(args.head)
+    case CaseWhen(cs, o) => isInterval(o) || cs.exists(c => isInterval(c._2))
+    case _ => false
+  }
+
+  private def isTimestamp(e: Expr): Boolean =
+    try dtypeOf(column(e)).isInstanceOf[TimestampType]
+    catch { case _: Throwable => false }
 
   // --------------------------------------------------------- scalar exprs
 
@@ -118,23 +149,33 @@ final class Translator(base: DataFrame, scope: Map[String, Column]) {
     }
   }
 
+  /** `expr::type` (reference expression_execution.rs:533-559): interval
+    * casts are special-cased BEFORE the generic rules — ::int yields
+    * whole seconds, ::real fractional seconds at millisecond resolution
+    * (num_milliseconds()/1000.0), ::text the HH:MM:SS.mmm Display form. */
   private def castTo(xe: Expr, t: String): Column = {
     val x = column(xe)
     val xt = dtypeOf(x)
+    val interval = isInterval(xe)
     t.toLowerCase match {
-      case "int" => xt match {
-        // interval::int = whole seconds (expression_execution.rs:541-546);
-        // intervals are carried as micros
-        case _ => x.try_cast(LongType)
-      }
+      case "int" if interval => SqlgrepFunctions.intervalToIntSeconds(x)
+      case "real" if interval => SqlgrepFunctions.intervalToRealSeconds(x)
+      case "text" if interval => NullSemantics.formatInterval(x)
+      case "int" => x.try_cast(LongType)
       case "real" => x.try_cast(DoubleType)
       case "boolean" => x.try_cast(BooleanType)
       case "text" => xt match {
         case _: DoubleType => format_string("%.2f", x) // float Display {:.2} (model.rs:335-343)
+        case _: TimestampType => // Display %Y-%m-%d %H:%M:%S.%3f (model.rs:346)
+          date_format(x, "yyyy-MM-dd HH:mm:ss.SSS")
         case _ => x.cast(StringType)
       }
       case "timestamp" => to_timestamp(x, "yyyy-MM-dd HH:mm:ss")
-      case "interval" => x // micros representation
+      case "interval" => xt match {
+        // String -> ValueType::parse 'H:M:S' (model.rs:386-392)
+        case _: StringType => SqlgrepFunctions.parseInterval(x)
+        case _ => x // already micros
+      }
       case other => throw new IllegalArgumentException(s"unknown cast type: $other")
     }
   }

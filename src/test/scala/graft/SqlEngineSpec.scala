@@ -247,4 +247,62 @@ class SqlEngineSpec extends SparkSpec {
     val isn = eng.query("SELECT ip FROM connections WHERE hostname IS NULL", ftpdLines)
     assert(isn.count() === 2)
   }
+
+  test("interval semantics: parse, ::int/::real/::text, MAX carry-through, ts - ts") {
+    import spark.implicits._
+    val e = new SqlEngine(spark)
+    e.addTables(
+      "CREATE TABLE dur(line = '(\\\\d+:\\\\d+:\\\\d+) (\\\\S+)', " +
+        "line[1] => took INTERVAL, line[2] => tag TEXT);")
+    val lines = Seq("01:00:30 a", "12:10:05 b").toDF("value")
+    // interval::int whole seconds, ::real ms-resolution, ::text Display
+    val rows = e.query(
+      "SELECT tag, took::int AS s, took::real AS r, took::text AS d FROM dur",
+      lines).orderBy("tag").collect()
+    assert(rows(0).getLong(1) === 3630L)
+    assert(rows(0).getDouble(2) === 3630.0)
+    assert(rows(0).getString(3) === "01:00:30.000")
+    assert(rows(1).getString(3) === "12:10:05.000")
+    // interval-ness carries through MAX (reference Value::Interval at agg)
+    val mx = e.query("SELECT MAX(took)::text AS m FROM dur", lines).collect()
+    assert(mx(0).getString(0) === "12:10:05.000")
+    // ts - ts is an interval: ::int gives elapsed seconds
+    val diff = e.query(
+      "SELECT (make_timestamp(2024,1,1,2,0,0,0) - make_timestamp(2024,1,1,0,30,0,0))::int AS d FROM dur LIMIT 1",
+      lines).collect()
+    assert(diff(0).getLong(0) === 5400L)
+    // comparison on intervals (micros carrier): WHERE took > '02:00:00'::interval
+    val big = e.query(
+      "SELECT tag FROM dur WHERE took > '02:00:00'::interval", lines).collect()
+    assert(big.map(_.getString(0)).toSeq === Seq("b"))
+  }
+
+  test("multi-statement execution: CREATE TABLE + SELECT in one input (Statement::Multiple)") {
+    import spark.implicits._
+    val e = new SqlEngine(spark)
+    val lines = Seq("n=5 ok", "n=12 ok", "n=40 bad").toDF("value")
+    val out = e.execute(
+      "CREATE TABLE m(line = 'n=(\\\\d+) (\\\\w+)', line[1] => n INT, line[2] => st TEXT);\n" +
+        "SELECT n, st FROM m WHERE n > 10;", lines)
+    assert(out.isDefined)
+    val rows = out.get.orderBy("n").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(12L, 40L))
+    // pure DDL yields no result but registers the table
+    assert(e.execute("CREATE TABLE m2(line = '(\\\\d+)', line[1] => k INT);", lines).isEmpty)
+    assert(e.tableDef("m2").name === "m2")
+  }
+
+  test("run stats: lines/bytes ingested and rows matched via observe metrics") {
+    import spark.implicits._
+    val e = new SqlEngine(spark)
+    e.addTables("CREATE TABLE m(line = 'n=(\\\\d+)', line[1] => n INT);")
+    val input = Seq("n=5", "n=12", "junk line")
+    val (df, stats) = e.queryWithStats("SELECT n FROM m WHERE n > 1", input.toDF("value"))
+    assert(df.count() === 2) // action first; stats thunk blocks until then
+    val st = stats()
+    assert(st.linesProcessed === 3)
+    assert(st.bytesProcessed === input.map(_.length).sum)
+    assert(st.rowsMatched === 2)
+    assert(st.seconds > 0)
+  }
 }
