@@ -266,6 +266,25 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // S5 text sink: reference Value::Display rendering oracled end-to-end
+    // (quoted strings, {:.2} floats, NULL literal). The double is
+    // pre-rounded to 2dp so %.2f formatting cannot hit a decimal tie
+    // (ties are where Java HALF_UP and C round-to-even could differ).
+    "q_sink_text" -> ((s, dir) => {
+      val d = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      graft.sources.Sinks.text(d)
+    }),
+
+    // S7 csv sink: `;` delimiter, header first, Display-rendered values.
+    "q_sink_csv" -> ((s, dir) => {
+      val d = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      graft.sources.Sinks.csv(d)
+    }),
+
     // Multi-way join + broadcast chain (region -> nation -> customer).
     "q_join_multi" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -397,6 +416,22 @@ object RelationalQueries {
       """SELECT r_name, count(*) AS n_cust
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name ORDER BY r_name"""
+         GROUP BY r_name ORDER BY r_name""",
+    "q_sink_text" ->
+      """SELECT 'c_custkey: ' || c_custkey
+           || ', c_name: ''' || c_name || ''''
+           || ', bal: ' || printf('%.2f', round(c_acctbal, 2))
+           || ', seg: ' || CASE WHEN c_mktsegment = 'BUILDING' THEN 'NULL'
+                                ELSE '''' || c_mktsegment || '''' END AS value
+         FROM customer""",
+    "q_sink_csv" ->
+      """SELECT 'c_custkey;c_name;bal;seg' AS value
+         UNION ALL
+         SELECT c_custkey
+           || ';''' || c_name || ''''
+           || ';' || printf('%.2f', round(c_acctbal, 2))
+           || ';' || CASE WHEN c_mktsegment = 'BUILDING' THEN 'NULL'
+                          ELSE '''' || c_mktsegment || '''' END AS value
+         FROM customer"""
   )
 }

@@ -37,6 +37,9 @@ final class SqlEngine(spark: SparkSession) {
   def tableDef(name: String): TableDef =
     tables.getOrElse(name, throw new IllegalArgumentException(s"unknown table: $name"))
 
+  /** Registered table names, definition order (reference `\d`). */
+  def tableNames: Seq[String] = tables.keys.toSeq
+
   /** Run a query. `lines` backs the FROM table; `joinLines` backs the
     * joined table (defaults to reading the join clause's `::'file'`). */
   def query(sql: String, lines: DataFrame, joinLines: Option[DataFrame] = None): DataFrame =
