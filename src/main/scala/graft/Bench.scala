@@ -74,40 +74,89 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
+  /** Host-drift rejection. This shared VM's effective CPU speed swings
+    * up to ~3x for minutes at a time (noisy neighbors) — enough to turn
+    * a true 0.9-efficiency pair into 0.26. Every measured run is
+    * BRACKETED by a fixed single-thread CPU probe (~0.2s xorshift spin);
+    * a run whose probes deviate >30% from the session-best host speed
+    * ran on a contended host and is re-measured (bounded retries, raw
+    * probe floor reported). This rejects contamination without ever
+    * selecting on the measurement itself. */
+  private object HostProbe {
+    var best: Double = Double.MaxValue
+    def measure(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) Console.err.println("unreachable") // keep the loop alive
+      best = math.min(best, dt)
+      dt
+    }
+    def warm(): Unit = (1 to 3).foreach(_ => measure())
+    def clean(p: Double): Boolean = p <= best * 1.3
+  }
+
+  /** One probe-bracketed measurement; retries (up to `maxTries`) while
+    * the host is contended, returns the first clean run (or the last
+    * attempt, flagged). */
+  private def cleanRun(maxTries: Int)(run: () => Double): (Double, Boolean) = {
+    var last = 0.0
+    var tries = 0
+    while (tries < maxTries) {
+      val p1 = HostProbe.measure()
+      last = run()
+      val p2 = HostProbe.measure()
+      if (HostProbe.clean(p1) && HostProbe.clean(p2)) return (last, true)
+      tries += 1
+    }
+    (last, false)
+  }
+
   /** Host CPU speed drifts ~2x over minutes (shared VM). Sequential
     * per-level measurement (all-N then all-4N) aliases that drift into
     * the scaling number, so runs are interleaved in (N, 4N) pairs and
     * the headline efficiency is the median of per-pair ratios — drift
     * cancels within a pair, the median rejects outlier pairs. */
   private def scalingPhase(): String = {
-    def oneRun(cores: Int, warm: Boolean): Double = {
+    def oneRun(cores: Int, warm: Boolean): (Double, Boolean) = {
       val spark = session(cores)
       spark.sparkContext.setLogLevel("WARN")
       try {
         if (warm) pipelineRun(spark, ScalingRows / 8)
-        pipelineRun(spark, ScalingRows)
+        cleanRun(maxTries = 3)(() => pipelineRun(spark, ScalingRows))
       } finally spark.stop()
     }
     // default 4 vs 16: a true 4x core ratio with headroom on the 32-core
-    // box, so transient host contention (measured ~2x CPU-speed drift)
-    // doesn't alias into the oversubscribed level
+    // box, so transient host contention (measured up to ~3x CPU-speed
+    // drift) doesn't alias into the oversubscribed level
     val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "4").toInt
     val cores4N = coresN * 4
+    HostProbe.warm()
     oneRun(cores4N, warm = true) // global JIT warm-up (code shared across sessions)
     val pairs = (1 to ScalingPairs).map { i =>
       (oneRun(coresN, warm = i == 1), oneRun(cores4N, warm = false))
     }
-    val effs = pairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
-    val eff = median(effs)
+    val effs = pairs.map { case ((tN, _), (t4N, _)) => tN / (4.0 * t4N) }
+    // headline = median of per-pair efficiencies over pairs whose FOUR
+    // probe brackets were all clean; falls back to all pairs if the host
+    // never settled (then pair_clean shows it)
+    val cleanEffs = pairs.collect { case ((tN, true), (t4N, true)) => tN / (4.0 * t4N) }
+    val eff = median(if (cleanEffs.nonEmpty) cleanEffs else effs)
     // min over repetitions = noise-floor throughput at each level
-    val tN = pairs.map(_._1).min
-    val t4N = pairs.map(_._2).min
+    val tN = pairs.map(_._1._1).min
+    val t4N = pairs.map(_._2._1).min
     val rpsN = ScalingRows / tN
     val rps4N = ScalingRows / t4N
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    def barr(xs: Seq[Boolean]) = xs.map(_.toString).mkString("[", ",", "]")
     f""""pipeline_scaling":{"rows":$ScalingRows,"cores_n":$coresN%d,"cores_4n":$cores4N%d,""" +
-      f""""runs_n":${arr(pairs.map(_._1))}%s,"runs_4n":${arr(pairs.map(_._2))}%s,""" +
+      f""""runs_n":${arr(pairs.map(_._1._1))}%s,"runs_4n":${arr(pairs.map(_._2._1))}%s,""" +
       f""""pair_efficiencies":${arr(effs)}%s,""" +
+      f""""pair_clean":${barr(pairs.map(p => p._1._2 && p._2._2))}%s,""" +
+      f""""clean_pair_efficiencies":${arr(cleanEffs)}%s,""" +
+      f""""probe_floor_sec":${HostProbe.best}%.3f,""" +
       f""""sec_n":$tN%.3f,"sec_4n":$t4N%.3f,"seq_per_sec_n":${rpsN.toLong}%d,""" +
       f""""seq_per_sec_4n":${rps4N.toLong}%d,"scaling_efficiency":$eff%.3f}"""
   }
@@ -121,10 +170,10 @@ object Bench {
     import graft.functions.EmbedGen
     import graft.operators.Similarity
     val annRows = sys.env.getOrElse("SPARK_GRAFT_ANN_ROWS", "1000000").toLong
-    def oneRun(cores: Int): Double = {
+    def oneRun(cores: Int): (Double, Boolean) = {
       val spark = session(cores)
       spark.sparkContext.setLogLevel("WARN")
-      try {
+      def pass(): Double = {
         val t0 = System.nanoTime()
         val corpus = spark.range(0, annRows, 1, InputParts)
           .select(col("id"), EmbedGen(col("id"), lit(64)).as("emb"))
@@ -134,17 +183,20 @@ object Bench {
             queries, col("id"), col("emb"), k = 10)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } finally spark.stop()
+      }
+      try cleanRun(maxTries = 3)(pass _) finally spark.stop()
     }
     val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "4").toInt
     val cores4N = coresN * 4
     oneRun(cores4N) // warm-up
     val pairs = (1 to 3).map(_ => (oneRun(coresN), oneRun(cores4N)))
-    val effs = pairs.map { case (tN, t4N) => tN / (4.0 * t4N) }
+    val effs = pairs.map { case ((tN, _), (t4N, _)) => tN / (4.0 * t4N) }
+    val cleanEffs = pairs.collect { case ((tN, true), (t4N, true)) => tN / (4.0 * t4N) }
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     f""""ann_scaling":{"rows":$annRows,"k":10,"cores_n":$coresN%d,"cores_4n":$cores4N%d,""" +
-      f""""runs_n":${arr(pairs.map(_._1))}%s,"runs_4n":${arr(pairs.map(_._2))}%s,""" +
-      f""""scaling_efficiency":${median(effs)}%.3f}"""
+      f""""runs_n":${arr(pairs.map(_._1._1))}%s,"runs_4n":${arr(pairs.map(_._2._1))}%s,""" +
+      f""""pair_efficiencies":${arr(effs)}%s,""" +
+      f""""scaling_efficiency":${median(if (cleanEffs.nonEmpty) cleanEffs else effs)}%.3f}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -49,10 +49,18 @@ object Aggregates {
   class PercentileExact(p: Double) extends Aggregator[java.lang.Double, Seq[Double], java.lang.Double] {
     // parse-time clamp, reference src/parsing/parser_tree_converter.rs:703-709
     require(p >= 0.0 && p <= 1.0, "percentile must be in [0,1]")
-    def zero: Seq[Double] = Vector.empty
+    // O(1) List prepend per input row (element order is irrelevant — the
+    // buffer is sorted at finish); a decoded post-shuffle buffer may be a
+    // different Seq impl, converted to List once, not per row.
+    private def asList(b: Seq[Double]): List[Double] = b match {
+      case l: List[Double] => l
+      case other => other.toList
+    }
+    def zero: Seq[Double] = Nil
     def reduce(b: Seq[Double], a: java.lang.Double): Seq[Double] =
-      if (a == null) b else b :+ a.doubleValue
-    def merge(b1: Seq[Double], b2: Seq[Double]): Seq[Double] = b1 ++ b2
+      if (a == null) b else a.doubleValue :: asList(b)
+    def merge(b1: Seq[Double], b2: Seq[Double]): Seq[Double] =
+      asList(b1) reverse_::: asList(b2)
     def finish(b: Seq[Double]): java.lang.Double =
       if (b.isEmpty) null
       else {

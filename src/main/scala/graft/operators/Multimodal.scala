@@ -72,18 +72,22 @@ object Multimodal {
         (col("n_chars") * 10).cast(LongType).as("duration_ms")).as("meta"))
   }
 
-  /** The decode stage: batched per-partition execution, size-bucketed
-    * repartition first so payload-size skew spreads across tasks. The
-    * decoder runs once per row inside a partition iterator — no
-    * per-row task/serialization overhead, same batch shape as an Arrow
+  /** The decode stage: batched per-partition execution behind a
+    * uniform hash respray. The hash spreads ROWS uniformly; per-task BYTE
+    * totals then even out statistically (law of large numbers over many
+    * rows per task) — it is not an explicit byte-balanced packing, which
+    * would need a size histogram pass; at real scale pair this with AQE
+    * skew handling for pathological single-blob outliers. The decoder
+    * runs once per row inside a partition iterator — no per-row
+    * task/serialization overhead, same batch shape as an Arrow
     * `mapInPandas` stage. */
   def decodeFeatures(media: DataFrame, decoder: Decoder,
       partitions: Int): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val bucketed = media
-      .withColumn("__szbkt", pmod(hash(col("media_id"), length(col("payload"))), lit(partitions)))
-      .repartition(partitions, col("__szbkt"))
+      .withColumn("__respray", pmod(hash(col("media_id")), lit(partitions)))
+      .repartition(partitions, col("__respray"))
     bucketed.select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>

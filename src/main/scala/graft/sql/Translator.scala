@@ -116,7 +116,7 @@ final class Translator(base: DataFrame, scope: Map[String, Column],
           case ">=" => lc >= rc
         }
         NullSemantics.boolOf(cmp) // NULL operand => false (P3)
-      case "^" => pow(l, r)
+      case "^" => powOf(l, r)
       case "+" | "-" | "*" | "/" =>
         val lt = dtypeOf(l); val rt = dtypeOf(r)
         (op, lt, rt) match {
@@ -137,6 +137,16 @@ final class Translator(base: DataFrame, scope: Map[String, Column],
         }
     }
   }
+
+  /** `pow` / `^` — reference (expression_execution.rs:259-280): INT ^
+    * (INT >= 0) returns INT (i64.pow); a negative integer exponent is
+    * undefined (reference errors; we yield NULL); REAL ^ REAL -> REAL.
+    * Double pow is exact for integer operands up to 2^53, which covers
+    * any non-overflowing i64.pow the reference itself can produce. */
+  private def powOf(l: Column, r: Column): Column =
+    if (isIntegral(dtypeOf(l)) && isIntegral(dtypeOf(r)))
+      when(r >= 0, pow(l, r).cast(LongType))
+    else pow(l, r)
 
   /** string <-> timestamp auto-coercion in comparisons (P3,
     * reference expression_execution.rs:50-58). */
@@ -187,7 +197,7 @@ final class Translator(base: DataFrame, scope: Map[String, Column],
       case "least" => least(a(0), a(1))
       case "abs" => abs(a(0))
       case "sqrt" => sqrt(a(0))
-      case "pow" => pow(a(0), a(1))
+      case "pow" => powOf(a(0), a(1))
       case "length" => length(a(0)).cast(LongType)
       case "upper" => upper(a(0))
       case "lower" => lower(a(0))
@@ -231,6 +241,10 @@ final class Translator(base: DataFrame, scope: Map[String, Column],
         }
         else if (distinct) countDistinct(arg0)
         else count(arg0)
+      // DOCUMENTED SUPERSET: the reference's MIN/MAX silently no-op on
+      // non-numeric values (modify_same_type_numeric, model.rs:305-319 —
+      // a TEXT column yields NULL); Spark orders strings/timestamps/bools
+      // natively and we keep that. Covered by SqlEngineSpec.
       case "min" => min(arg0)
       case "max" => max(arg0)
       case "sum" => sum(arg0)

@@ -50,4 +50,52 @@ object FollowStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  // ------------------------------------------------- event-time windows
+
+  /** Event-time tumbling-window aggregate with a watermark — the
+    * streaming analog of the reference's GROUP BY over an extracted
+    * timestamp column, made safe for unbounded input: state for windows
+    * older than the watermark is dropped instead of accumulating forever
+    * (the reference's follow mode holds ALL groups in memory for the
+    * life of the process, `src/executor.rs:175-234` — unbounded).
+    *
+    * @param eventTime name of the extracted timestamp column
+    * @param windowDur e.g. "10 minutes"; @param lateness e.g. "5 minutes"
+    */
+  def windowedCounts(parsed: DataFrame, eventTime: String, keyCol: String,
+      windowDur: String, lateness: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    parsed.withWatermark(eventTime, lateness)
+      .groupBy(window(col(eventTime), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+  }
+
+  /** Running per-key totals (count + token sum) via
+    * `mapGroupsWithState` — arbitrary keyed state for semantics the
+    * built-in aggregates can't express (the brief's custom-state path).
+    * Update mode: each trigger emits the new running total for keys that
+    * received data. */
+  def runningTotals(parsed: DataFrame, keyCol: String, tokCol: String)
+      : org.apache.spark.sql.Dataset[KeyTotals] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val ke: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    implicit val oe: org.apache.spark.sql.Encoder[KeyTotals] = Encoders.product[KeyTotals]
+    parsed.select(keyCol, tokCol)
+      .groupByKey((r: Row) => r.getString(0))
+      .mapGroupsWithState[KeyTotals, KeyTotals](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          var n = 0L; var tok = 0L
+          rows.foreach { r => n += 1; if (!r.isNullAt(1)) tok += r.getLong(1) }
+          val prev = state.getOption.getOrElse(KeyTotals(key, 0L, 0L))
+          val next = KeyTotals(key, prev.n + n, prev.sumTok + tok)
+          state.update(next)
+          next
+      }
+  }
 }
+
+/** Running state carried by [[FollowStream.runningTotals]]. */
+final case class KeyTotals(key: String, n: Long, sumTok: Long)

@@ -69,6 +69,67 @@ class FollowStreamSpec extends SparkSpec {
     assert(rows(0).getString(0) === "y.net")
   }
 
+  private val tsDef = TableDef("tslog",
+    Seq(PatternDef("line", "^(\\d+-\\d+-\\d+ \\d+:\\d+:\\d+) (\\w+) n=(\\d+)$")),
+    Seq(
+      ColumnDef("ts", ValueType.TimestampT, g(1)),
+      ColumnDef("src", ValueType.TextT, g(2)),
+      ColumnDef("n", ValueType.IntT, g(3))))
+
+  test("watermarked event-time window aggregate over a followed stream") {
+    val dir = Files.createTempDirectory("follow_win").toString
+    Files.write(Paths.get(dir, "b1.log"), Seq(
+      "2024-01-01 00:01:10 web n=5",
+      "2024-01-01 00:03:20 web n=7",
+      "2024-01-01 00:12:00 books n=2",
+      "junk").mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val parsed = FollowStream.parsed(spark, dir, tsDef)
+    val win = FollowStream.windowedCounts(parsed, "ts", "src",
+      windowDur = "10 minutes", lateness = "5 minutes")
+    val q = win.writeStream.outputMode("complete").format("memory")
+      .queryName("follow_win")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT win_start, src, n FROM follow_win ORDER BY win_start, src")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", "web", 2L),
+      ("2024-01-01 00:10:00.0", "books", 1L)))
+  }
+
+  test("mapGroupsWithState running totals accumulate across triggers") {
+    val dir = Files.createTempDirectory("follow_state").toString
+    val ckpt = Files.createTempDirectory("follow_ckpt").toString
+    def batch(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(dir, name),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    batch("b1.log", Seq(
+      "2024-01-01 00:01:10 web n=5",
+      "2024-01-01 00:01:11 web n=7",
+      "2024-01-01 00:01:12 books n=2"))
+    val parsed = FollowStream.parsed(spark, dir, tsDef)
+    // foreachBatch sink: supports checkpoint RECOVERY (memory sink does
+    // not), so the second run resumes the keyed state.
+    val emitted = scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+    def runOnce(): Unit = {
+      emitted.clear()
+      val q = FollowStream.runningTotals(parsed, "src", "n")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt) // SAME checkpoint: state carries over
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.KeyTotals], _: Long) =>
+          ds.collect().foreach(k => emitted(k.key) = (k.n, k.sumTok))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(emitted.toMap === Map("web" -> ((2L, 12L)), "books" -> ((1L, 2L))))
+    // second batch arrives; restart from the same checkpoint -> state resumes
+    batch("b2.log", Seq("2024-01-01 00:02:00 web n=100"))
+    runOnce()
+    assert(emitted.toMap === Map("web" -> ((3L, 112L)))) // only keys with new data emit
+  }
+
   test("stream-static join works in follow mode (superset of reference)") {
     val dir = Files.createTempDirectory("follow3").toString
     Files.write(Paths.get(dir, "b1.log"),

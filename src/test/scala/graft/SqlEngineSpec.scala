@@ -277,6 +277,30 @@ class SqlEngineSpec extends SparkSpec {
     assert(big.map(_.getString(0)).toSeq === Seq("b"))
   }
 
+  test("pow: INT^INT>=0 -> INT, negative int exponent -> NULL, REAL path stays REAL") {
+    import spark.implicits._
+    val e = new SqlEngine(spark)
+    e.addTables("CREATE TABLE p(line = '(\\\\d+)', line[1] => n INT);")
+    val lines = Seq("3").toDF("value")
+    val r = e.query(
+      "SELECT pow(n, 4) AS p4, n ^ 2 AS sq, pow(n, 0 - 1) AS neg, pow(2.0, 0.5) AS rt FROM p",
+      lines).collect()(0)
+    assert(r.getLong(0) === 81L) // INT result, not 81.0
+    assert(r.getLong(1) === 9L)
+    assert(r.isNullAt(2)) // reference errors on negative int exponent; we yield NULL
+    assert(math.abs(r.getDouble(3) - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("MIN/MAX over TEXT: documented superset (reference silently no-ops to NULL)") {
+    import spark.implicits._
+    val e = new SqlEngine(spark)
+    e.addTables("CREATE TABLE t(line = '(\\\\w+)', line[1] => w TEXT);")
+    val lines = Seq("banana", "apple", "cherry").toDF("value")
+    val r = e.query("SELECT MIN(w) AS lo, MAX(w) AS hi FROM t", lines).collect()(0)
+    assert(r.getString(0) === "apple")
+    assert(r.getString(1) === "cherry")
+  }
+
   test("multi-statement execution: CREATE TABLE + SELECT in one input (Statement::Multiple)") {
     import spark.implicits._
     val e = new SqlEngine(spark)
