@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  * Two paths:
+  * Three paths:
   *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small)
   *    query set against the corpus; one scan, no corpus shuffle.
-  *  - [[lshTopK]] — the scale path: random-hyperplane LSH buckets both
+  *  - [[lshTopK]] — a scale path: random-hyperplane LSH buckets both
   *    sides; candidates are only within-bucket (multi-probe via several
-  *    independent tables), then exact cosine re-rank. Recall is tested
-  *    against the brute-force baseline in SimilaritySpec.
+  *    independent tables), then exact cosine re-rank.
+  *  - [[ivfTopK]] — the other scale path: data-adaptive inverted-file
+  *    buckets (deterministically trained centroids), query probes its
+  *    `nprobe` nearest lists, exact cosine re-rank.
+  *  Recall of both approximate paths is tested against the brute-force
+  *  baseline in DedupSpec.
   */
 object Similarity {
 
@@ -33,6 +37,74 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("cos"), col("rank"))
+  }
+
+  // -------------------------------------------------------------- IVF
+
+  /** Deterministic IVF centroid training. Seeds are the `nlist` corpus
+    * vectors with the smallest `md5(id)` (a deterministic pseudo-random
+    * sample — no RNG, stable across runs/cluster sizes), optionally
+    * refined by `lloydIters` distributed Lloyd steps: assign every
+    * vector to its nearest centroid (codegen'd
+    * [[graft.functions.NearestCentroids]]), recompute per-cluster
+    * element-wise means via posexplode + groupBy (two shuffles of
+    * rows × dims scalar values — fine for small dims; empty clusters
+    * keep their previous centroid). Only `nlist × dims` doubles ever
+    * reach the driver — centroid training collects METADATA, not data. */
+  def trainCentroids(corpus: DataFrame, id: Column, emb: Column,
+      nlist: Int, lloydIters: Int = 1): Array[Array[Double]] = {
+    val asDouble = emb.cast(ArrayType(DoubleType))
+    var cents: Array[Array[Double]] = corpus
+      .select(asDouble.as("e"), id.as("i"))
+      .orderBy(md5(col("i").cast(StringType)), col("i"))
+      .limit(nlist)
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < lloydIters) {
+      val assigned = corpus.select(asDouble.as("e"))
+        .withColumn("cl",
+          element_at(graft.functions.NearestCentroids(col("e"), cents, 1), 1))
+      val means = assigned
+        .select(col("cl"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cl", "pos").agg(avg("v").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF-bucketed ANN (the classic inverted-file index, FAISS-style):
+    * each corpus vector is assigned to its single nearest centroid; a
+    * query probes its `nprobe` nearest centroid lists. Candidates are
+    * only within probed lists — the corpus is never cross-joined — then
+    * exact cosine re-rank to top-k. Versus [[lshTopK]]: data-adaptive
+    * buckets (trained on the corpus distribution) at the cost of a
+    * training pass; both are linear-scan-free at 100 TB. The probed
+    * query side is broadcast; the corpus side shuffles ONCE on the
+    * centroid id (or not at all — the join key is a derived column, so
+    * with a broadcast right side the corpus is scanned in place). */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusEmb: Column,
+      queries: DataFrame, queryId: Column, queryEmb: Column,
+      k: Int, nlist: Int = 64, nprobe: Int = 8, lloydIters: Int = 1): DataFrame = {
+    val cents = trainCentroids(corpus, corpusId, corpusEmb, nlist, lloydIters)
+    import graft.functions.NearestCentroids
+    val c = corpus.select(corpusId.as("nn_id"), corpusEmb.as("c_emb"),
+      element_at(NearestCentroids(corpusEmb, cents, 1), 1).as("cl"))
+    val q = queries.select(queryId.as("query_id"), queryEmb.as("q_emb"),
+      explode(NearestCentroids(queryEmb, cents, nprobe)).as("cl"))
+    val candidates = c.join(broadcast(q), "cl")
+      .filter(col("nn_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    candidates.withColumn("cos", Dedup.cosine(col("c_emb"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nn_id"), col("cos"), col("rank"))
   }

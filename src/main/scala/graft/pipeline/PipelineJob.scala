@@ -39,7 +39,9 @@ object PipelineJob {
     val doneMarker = Paths.get(tableRoot, "_pending", s"$snapshotId", "_data_done")
 
     if (!Files.exists(doneMarker)) {
-      val routed = LogPipeline.parseEnrichRoute(spark, seqs, partitions)
+      val obsIn = Observation(s"pipeline-in-$snapshotId")
+      val seqsObs = seqs.observe(obsIn, count(lit(1)).as("rows_in"))
+      val routed = LogPipeline.parseEnrichRoute(spark, seqsObs, partitions)
       val obs = Observation(s"pipeline-$snapshotId")
       val observed = routed.observe(obs,
         count(lit(1)).as("rows_routed"),
@@ -48,8 +50,10 @@ object PipelineJob {
         .partitionBy("sink")
         .parquet(dataDir.toString)
       val m = obs.get
+      val mIn = obsIn.get
       writeAtomic(doneMarker,
-        s"""{"rows_routed":${m("rows_routed")},"tokens_routed":${m("tokens_routed")}}""")
+        s"""{"rows_in":${mIn("rows_in")},"rows_routed":${m("rows_routed")},""" +
+          s""""tokens_routed":${m("tokens_routed")}}""")
     }
 
     // per-sink lineage fragments (idempotent; parquet-footer counts only)
@@ -79,7 +83,7 @@ object PipelineJob {
       val s = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
       def f(n: String) = ("\"" + n + "\":(\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
       for (r <- f("rows_routed"); t <- f("tokens_routed"))
-        yield RunMetrics(r, r, t)
+        yield RunMetrics(f("rows_in").getOrElse(r), r, t)
     }
   }
 

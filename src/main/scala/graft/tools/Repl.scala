@@ -1,26 +1,73 @@
 package graft.tools
 
 import java.io.{BufferedReader, InputStreamReader}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core._
 import graft.sources.Sinks
 import graft.sql.SqlEngine
+import graft.streaming.FollowStream
 
-/** Interactive REPL — the reference CLI's primary UX re-expressed over
-  * [[SqlEngine]] (reference `src/main.rs:92-140`): a prompt loop that
-  * accepts CREATE TABLE / SELECT statements (multi-statement input
-  * works), `exit` to quit, and `\d [table]` introspection printing
-  * Column | Type | Nullable | Default value exactly like the reference's
-  * TablePrinter (`src/main.rs:238-272`, `src/helpers.rs:4-80`). Results
-  * print through the text sink ([[Sinks.text]], Value::Display formats).
+/** The reference CLI re-expressed over [[SqlEngine]] — same surface as
+  * `sqlgrep` (`src/main.rs:18-41` StructOpt):
   *
-  * Usage: `runMain graft.tools.Repl <input-file> [ddl-file]` — the input
-  * file backs FROM tables (a `FROM t::'file'` in the query overrides it,
-  * as in the reference).
+  * {{{
+  * Repl [flags] [input files...]
+  *   -d FILE | --data-file FILE   table-definition (DDL) file
+  *   -c QUERY | --command QUERY   execute the query and exit
+  *   --command-file FILE          execute the query in FILE and exit
+  *   --stdin                      input data is given on stdin (requires -c)
+  *   --format text|json|csv       output format (default text)
+  *   --show-run-stats             print seconds / lines / bytes per query
+  *   -f | --follow                follow the input path as a stream
+  *   --head                       (follow) process existing data too
+  * }}}
+  *
+  * Without `-c`/`--command-file` this is the interactive prompt loop
+  * (reference `src/main.rs:92-140`): CREATE TABLE / SELECT statements
+  * (multi-statement input works), `exit` to quit, `\d [table]`
+  * introspection printing Column | Type | Nullable | Default value like
+  * the reference's TablePrinter (`src/helpers.rs:4-80`).
+  *
+  * Divergences (documented):
+  *  - multiple positional input files are unioned (the reference reads
+  *    them sequentially into one stream — same rows, same results);
+  *  - follow mode uses Spark's file-stream source, which picks up files
+  *    appearing under the path and always processes data already present
+  *    (i.e. `--head` semantics; the flag is accepted for compatibility).
+  *    The reference instead seeks to EOF of one file unless `--head`
+  *    (`src/executor.rs:183-199`).
   */
 object Repl {
+
+  private final case class Args(
+      inputs: Vector[String] = Vector.empty,
+      ddlFile: Option[String] = None,
+      command: Option[String] = None,
+      commandFile: Option[String] = None,
+      stdin: Boolean = false,
+      format: String = "text",
+      showRunStats: Boolean = false,
+      follow: Boolean = false,
+      head: Boolean = false)
+
+  private def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
+    case Nil => acc
+    case ("-d" | "--data-file") :: v :: rest => parseArgs(rest, acc.copy(ddlFile = Some(v)))
+    case ("-c" | "--command") :: v :: rest => parseArgs(rest, acc.copy(command = Some(v)))
+    case "--command-file" :: v :: rest => parseArgs(rest, acc.copy(commandFile = Some(v)))
+    case "--stdin" :: rest => parseArgs(rest, acc.copy(stdin = true))
+    case "--format" :: v :: rest =>
+      require(Set("text", "json", "csv")(v), s"unsupported format: $v")
+      parseArgs(rest, acc.copy(format = v))
+    case "--show-run-stats" :: rest => parseArgs(rest, acc.copy(showRunStats = true))
+    case ("-f" | "--follow") :: rest => parseArgs(rest, acc.copy(follow = true))
+    case "--head" :: rest => parseArgs(rest, acc.copy(head = true))
+    case f :: rest if !f.startsWith("-") => parseArgs(rest, acc.copy(inputs = acc.inputs :+ f))
+    case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
+  }
 
   private def typeName(t: ValueType): String = t match {
     case ValueType.IntT => "int"
@@ -59,10 +106,25 @@ object Repl {
         printTable(Seq("Table"), eng.tableNames.map(Seq(_)))
     }
 
-  def main(args: Array[String]): Unit = {
-    val inputFile = args.headOption.getOrElse {
-      System.err.println("usage: Repl <input-file> [ddl-file]"); sys.exit(2)
+  private def sink(df: DataFrame, format: String): DataFrame = format match {
+    case "json" => Sinks.json(df)
+    case "csv" => Sinks.csv(df)
+    case _ => Sinks.text(df)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toList)
+    val oneShot = args.command.orElse(
+      args.commandFile.map(f => new String(Files.readAllBytes(Paths.get(f)))))
+    if (args.inputs.isEmpty && !args.stdin) {
+      System.err.println("The input filename must be defined.")
+      sys.exit(2)
     }
+    if (args.stdin && oneShot.isEmpty) {
+      System.err.println("--stdin requires -c/--command-file (stdin carries the data).")
+      sys.exit(2)
+    }
+
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", 8)
@@ -71,32 +133,81 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val eng = new SqlEngine(spark)
-    args.lift(1).foreach { ddlFile =>
-      val names = eng.addTables(
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ddlFile))))
-      println(s"defined tables: ${names.mkString(", ")}")
-    }
-    val lines: DataFrame = spark.read.text(inputFile).cache()
+    import spark.implicits._
 
-    val in = new BufferedReader(new InputStreamReader(System.in))
-    var done = false
-    while (!done) {
-      print("> ")
-      Console.flush()
-      val line = in.readLine()
-      if (line == null || line.trim == "exit") done = true
-      else if (line.trim.isEmpty) ()
-      else if (line.trim.startsWith("\\d")) describe(eng, line.trim.split("\\s+"))
+    val eng = new SqlEngine(spark)
+    args.ddlFile.foreach { ddlFile =>
+      eng.addTables(new String(Files.readAllBytes(Paths.get(ddlFile))))
+    }
+
+    // input lines: stdin is read on the driver (a single unseekable
+    // stream has no distributed read anyway — reference opens
+    // /dev/stdin the same way, src/main.rs:172); files go through the
+    // distributed text source, several positional files unioned.
+    lazy val lines: DataFrame =
+      if (args.stdin) {
+        val buf = scala.io.Source.stdin.getLines().toSeq
+        spark.createDataset(buf).toDF("value")
+      } else if (args.follow) {
+        FollowStream.lines(spark, args.inputs.head)
+      } else {
+        spark.read.text(args.inputs: _*).cache()
+      }
+
+    def runStatements(input: String): Unit = {
+      if (args.follow) runFollow(input)
       else {
-        try {
-          eng.execute(line, lines).foreach { df =>
-            Sinks.text(df).collect().foreach(r => println(r.getString(0)))
+        if (args.showRunStats && !input.trim.toUpperCase.startsWith("CREATE")) {
+          val (df, stats) = eng.queryWithStats(input, lines)
+          sink(df, args.format).collect().foreach(r => println(r.getString(0)))
+          val s = stats()
+          println(f"Executed query in ${s.seconds}%.2f seconds, ingested " +
+            f"${s.bytesProcessed / 1024.0 / 1024.0}%.2f MB, processed ${s.linesProcessed} lines.")
+        } else {
+          eng.execute(input, lines).foreach { df =>
+            sink(df, args.format).collect().foreach(r => println(r.getString(0)))
           }
-        } catch {
-          case e: Exception => println(s"error: ${e.getMessage}")
         }
       }
+    }
+
+    /** Follow mode: run the statement over the file stream; aggregates
+      * re-emit the full result per trigger (reference reprint behavior),
+      * non-aggregates append. Each micro-batch prints through the
+      * selected sink. */
+    def runFollow(input: String): Unit = {
+      val df = eng.execute(input, lines).getOrElse(return ())
+      val mode = if (df.isStreaming && df.queryExecution.analyzed.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+        }.isDefined) "complete" else "append"
+      val q = df.writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          sink(batch, args.format).collect().foreach(r => println(r.getString(0)))
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    oneShot match {
+      case Some(cmd) =>
+        try runStatements(cmd)
+        catch { case e: Exception => println(s"error: ${e.getMessage}"); sys.exit(1) }
+      case None =>
+        val in = new BufferedReader(new InputStreamReader(System.in))
+        var done = false
+        while (!done) {
+          print("> ")
+          Console.flush()
+          val line = in.readLine()
+          if (line == null || line.trim == "exit") done = true
+          else if (line.trim.isEmpty) ()
+          else if (line.trim.startsWith("\\d")) describe(eng, line.trim.split("\\s+"))
+          else {
+            try runStatements(line)
+            catch { case e: Exception => println(s"error: ${e.getMessage}") }
+          }
+        }
     }
     spark.stop()
   }

@@ -45,13 +45,31 @@ class DedupSpec extends SparkSpec {
       s"noise pair leaked: $pairs")
   }
 
-  test("simhash: identical text -> distance 0; planted near-dups close; blocked pairs verified") {
+  test("simhash: signatures distinct on noise; planted near-dups found (relaxed radius)") {
     val sig = corpus.select(SimHash64(split(col("text"), "\\s+")).as("s"))
     assert(sig.distinct().count() > 200 - 5) // signatures mostly unique on noise
+    // 12-token docs give noisy signatures, so the planted pairs sit past
+    // the hamming<=3 envelope where chunk blocking GUARANTEES recall;
+    // at 16 the operator is best-effort (pairs must share some 16-bit
+    // chunk) — deterministic here, and these planted pairs do.
     val pairs = Dedup.simhashPairs(corpus, col("id"), col("text"), maxHamming = 16)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1000L, 1001L)), s"got $pairs")
     assert(pairs.contains((2000L, 2001L)), s"got $pairs")
+  }
+
+  test("simhash blocking is EXACT within the guaranteed hamming<=3 envelope") {
+    // pigeonhole contract: 64-bit sig in 4 chunks, hamming<=3 implies
+    // >=1 identical chunk — so blocked pairs == brute-force pairs.
+    val sigs = corpus.select(col("id"), SimHash64(split(col("text"), "\\s+")).as("sig"))
+    val l = sigs.as("l"); val r = sigs.as("r")
+    val brute = l.crossJoin(r).filter(col("l.id") < col("r.id"))
+      .withColumn("h", SimHash64.hamming(col("l.sig"), col("r.sig")))
+      .filter(col("h") <= 3)
+      .select(col("l.id"), col("r.id")).as[(Long, Long)].collect().toSet
+    val blocked = Dedup.simhashPairs(corpus, col("id"), col("text"), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked === brute)
   }
 
   test("simhash expression is deterministic and codegen path matches eval path") {
@@ -111,6 +129,53 @@ class DedupSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, s"mean recall@5 = $mean")
+  }
+
+  test("dropNearDuplicates keeps the lowest id of each planted pair") {
+    val pairs = Dedup.minhashLsh(corpus, col("id"), col("text"),
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    val kept = Dedup.dropNearDuplicates(corpus, col("id"), pairs)
+    val ids = kept.select("id").as[Long].collect().toSet
+    assert(ids.contains(1000L) && !ids.contains(1001L))
+    assert(ids.contains(2000L) && !ids.contains(2001L))
+    assert((0 until 200).forall(i => ids.contains(i.toLong))) // noise untouched
+  }
+
+  test("IVF ANN achieves >=60% recall@5 vs brute force on random embeddings") {
+    val embs = spark.range(300).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        d => (pmod(hash(col("id"), d), lit(1000)).cast("double") - 500.0) / 500.0).as("emb"))
+    val queries = embs.filter(col("id") < 10)
+    def collectNeighbors(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nn_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = collectNeighbors(Similarity.bruteForceTopK(
+      embs, col("id"), col("emb"), queries, col("id"), col("emb"), k = 5))
+    val approx = collectNeighbors(Similarity.ivfTopK(
+      embs, col("id"), col("emb"), queries, col("id"), col("emb"),
+      k = 5, nlist = 16, nprobe = 6, lloydIters = 1))
+    val recalls = exact.map { case (q, nn) =>
+      approx.get(q).map(a => (a & nn).size.toDouble / nn.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 = $mean")
+  }
+
+  test("NearestCentroids: codegen matches eval, ordered by cosine, deterministic") {
+    import graft.functions.NearestCentroids
+    val cents = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.7, 0.7, 0.0, 0.0),
+      Array(0.0, 0.0, 5.0, 0.0)) // un-normalized on purpose
+    val df = Seq(Seq(0.9, 0.1, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+      .toDF("e").select(NearestCentroids(col("e"), cents, 3).as("nc"))
+    val rows = df.as[Seq[Int]].collect()
+    // row 0: nearest = x-axis (0), then diagonal (2), then y-axis (1)
+    assert(rows(0) === Seq(0, 2, 1))
+    // row 1: z-axis centroid wins despite magnitude 5 (cosine, not dot)
+    assert(rows(1).head === 3)
+    assert(df.as[Seq[Int]].collect().toSeq === rows.toSeq) // deterministic
   }
 
   test("multimodal decode: batch stage output matches per-row expectation") {

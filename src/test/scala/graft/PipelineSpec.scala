@@ -75,6 +75,7 @@ class PipelineSpec extends SparkSpec {
     assert(ingest.count() === manifest.sinks.find(_.sink == "ingest").get.rows)
     val m = PipelineJob.metrics(root, 1L)
     assert(m.exists(_.rowsRouted === N))
+    assert(m.exists(_.rowsIn === N))
   }
 
   test("resume: committed snapshot short-circuits; lost pointer recommits from fragments") {
