@@ -31,4 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 12g is ample now that the hot path allocates primitively (TokenGen).
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // Throughput collector: measured ~20% faster than G1 on the batch
+  // pipeline at both 4 and 16 cores (pause latency is irrelevant here).
+  "-XX:+UseParallelGC",
 )

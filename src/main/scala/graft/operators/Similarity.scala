@@ -80,7 +80,9 @@ object Similarity {
     cents
   }
 
-  /** IVF-bucketed ANN (the classic inverted-file index, FAISS-style):
+  /** IVF-bucketed ANN (the classic inverted-file index: Sivic &
+    * Zisserman "Video Google" 2003; Jégou et al. "Product Quantization
+    * for Nearest Neighbor Search" 2011, §IVF; popularized by FAISS):
     * each corpus vector is assigned to its single nearest centroid; a
     * query probes its `nprobe` nearest centroid lists. Candidates are
     * only within probed lists — the corpus is never cross-joined — then

@@ -42,7 +42,7 @@ import graft.streaming.FollowStream
   */
 object Repl {
 
-  private final case class Args(
+  private[tools] final case class Args(
       inputs: Vector[String] = Vector.empty,
       ddlFile: Option[String] = None,
       command: Option[String] = None,
@@ -53,7 +53,7 @@ object Repl {
       follow: Boolean = false,
       head: Boolean = false)
 
-  private def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
+  private[tools] def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
     case ("-d" | "--data-file") :: v :: rest => parseArgs(rest, acc.copy(ddlFile = Some(v)))
     case ("-c" | "--command") :: v :: rest => parseArgs(rest, acc.copy(command = Some(v)))

@@ -90,6 +90,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"single-partition exchange in: ${offenders.mkString(", ")}")
   }
 
+  test("near-dup candidate generation never plans a cross product") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Seq(
+      "ngram" -> Dedup.ngramJaccard(docs, col("doc_id"), col("text"), col("source"),
+        shingleN = 3, threshold = 0.3),
+      "minhash" -> Dedup.minhashLsh(docs, col("doc_id"), col("text")),
+      "simhash" -> Dedup.simhashPairs(docs, col("doc_id"), col("text"))
+    ).foreach { case (name, df) =>
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate join degenerated to a cross product:\n$plan")
+    }
+  }
+
   test("salted route repartitions on (sink, salt) - skew never lands one sink on one task") {
     val seqs = TokenSequences.synthetic(spark, 1000L, 4)
     val routed = LogPipeline.parseEnrichRoute(spark, seqs, partitions = 8)
