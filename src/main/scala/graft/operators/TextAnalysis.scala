@@ -20,11 +20,23 @@ object TextAnalysis {
     "es" -> Seq("el", "y", "los"),
     "zh" -> Seq("de5", "shi4", "le5")) // pinyin-ish markers for synthetic data
 
-  private def wordCount(text: Column, word: String): Column =
-    size(filter(split(lower(text), "\\s+"), w => w === word))
+  /** All marker words in a fixed global order; langScore indexes into one
+    * shared [[graft.functions.WordCounts]] array per row. */
+  private val allMarkers: Seq[String] =
+    Seq("en", "de", "fr", "es", "zh").flatMap(langMarkers)
+
+  /** Marker-hit counts for the whole bank in ONE codegen'd text scan.
+    * The per-marker `size(filter(split(lower(text)),...))` formulation
+    * this replaces evaluated 15 interpreted HOF lambdas (and 15 regex
+    * splits) per row; identical token semantics, see WordCounts scaladoc.
+    * Catalyst's subexpression elimination collapses the repeated calls
+    * from the 5 langScore columns into a single evaluation. */
+  private def markerCounts(text: Column): Column =
+    graft.functions.WordCounts(text, allMarkers)
 
   def langScore(text: Column, lang: String): Column =
-    langMarkers(lang).map(wordCount(text, _)).reduce(_ + _)
+    langMarkers(lang).map(w => element_at(markerCounts(text), allMarkers.indexOf(w) + 1))
+      .reduce(_ + _).cast(IntegerType)
 
   /** Heuristic language ID: argmax of marker scores (ties broken by the
     * fixed language order below; all-zero => 'und'). */
@@ -46,7 +58,10 @@ object TextAnalysis {
     val nWords = size(words)
     val nPunct = length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
     val stop = Seq("the", "and", "of", "a", "to", "in")
-    val nStop = size(filter(transform(words, w => lower(w)), w => w.isin(stop: _*)))
+    // one codegen'd scan for all 6 stopwords (was: interpreted
+    // filter(transform(...)) HOFs), summed without HOFs — fixed length
+    val stopCounts = graft.functions.WordCounts(text, stop)
+    val nStop = stop.indices.map(i => element_at(stopCounts, i + 1)).reduce(_ + _)
     struct(
       nChars.as("n_chars"),
       nWords.as("n_words"),

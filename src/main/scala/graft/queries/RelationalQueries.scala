@@ -285,6 +285,18 @@ object RelationalQueries {
       graft.sources.Sinks.csv(d)
     }),
 
+    // S6 json sink: one object per row, null fields EMITTED (serde_json
+    // Map), timestamps in Display format (.SSS = millisecond truncation
+    // of the microsecond-precision events.ts — exercised on real
+    // sub-second values, not .000).
+    "q_sink_json" -> ((s, dir) => {
+      val d = t(s, dir, "events").select(col("event_id"),
+        col("event_type").as("etype"),
+        nullif(col("event_type"), lit("click")).as("seg"),
+        col("ts"))
+      graft.sources.Sinks.json(d)
+    }),
+
     // Multi-way join + broadcast chain (region -> nation -> customer).
     "q_join_multi" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -424,6 +436,15 @@ object RelationalQueries {
            || ', seg: ' || CASE WHEN c_mktsegment = 'BUILDING' THEN 'NULL'
                                 ELSE '''' || c_mktsegment || '''' END AS value
          FROM customer""",
+    "q_sink_json" ->
+      """SELECT '{"event_id":' || event_id
+           || ',"etype":"' || event_type || '"'
+           || ',"seg":' || CASE WHEN event_type = 'click' THEN 'null'
+                                ELSE '"' || event_type || '"' END
+           || ',"ts":"' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '.'
+           || lpad(CAST(extract(microseconds FROM ts) % 1000000 // 1000 AS VARCHAR), 3, '0')
+           || '"}' AS value
+         FROM events ORDER BY event_id""",
     "q_sink_csv" ->
       """SELECT 'c_custkey;c_name;bal;seg' AS value
          UNION ALL

@@ -24,7 +24,31 @@ object SqlQueries {
       |    line = 'dur (doc-\\d+) took (\\d+:\\d+:\\d+)',
       |    line[1] => doc TEXT,
       |    line[2] => took INTERVAL
+      |);
+      |CREATE TABLE srcdim(
+      |    line = 'dim (\\S+) region (\\S+) tier (\\d+)',
+      |    line[1] => sname TEXT,
+      |    line[2] => region TEXT,
+      |    line[3] => tier INT
+      |);
+      |CREATE TABLE srcdim3(
+      |    line = 'dim (\\S+) region (\\S+) tier (\\d+)',
+      |    line[1] => sname TEXT,
+      |    line[2] => region TEXT,
+      |    line[3] => tier INT
       |);""".stripMargin
+
+  /** All source names the generating model can emit (see
+    * [[TokenSequences.withSequenceColumns]]); the join-table gates derive
+    * region/tier arithmetically from the name so the DuckDB oracle can
+    * regenerate the identical dimension without a literal list. */
+  private val allSources: Seq[String] =
+    Seq("web", "books", "code") ++ (0 until 17).map(i => s"src$i")
+
+  private def dimLines(s: SparkSession, names: Seq[String]): DataFrame = {
+    import s.implicits._
+    names.map(n => s"dim $n region r${n.length % 3} tier ${n.length}").toDF("line")
+  }
 
   private def engine(s: SparkSession): SqlEngine = {
     val e = new SqlEngine(s)
@@ -73,7 +97,52 @@ object SqlQueries {
         "SELECT doc, took::int AS secs, took::real AS secs_r, took::text AS disp " +
           "FROM durlog WHERE took::int >= 43200", durLines)
         .orderBy(col("doc"))
-    })
+    }),
+
+    // P6 end-to-end: unary minus in projection + filter, NOT around a
+    // comparison (projected boolean is the reference's non-null bool).
+    "q_sql_unary" -> ((s, dir) =>
+      engine(s).query(
+        "SELECT doc, -n AS neg_n, NOT (n >= 256) AS small FROM seqlog " +
+          "WHERE NOT (src = 'web') AND -n <= -100",
+        lines(s, dir)).orderBy(col("doc"))),
+
+    // make_timestamp (7-arg, reference expression_execution.rs:405-416)
+    // + EXTRACT(epoch) + array[...] literal with 1-based postfix index.
+    "q_sql_mkts" -> ((s, dir) =>
+      engine(s).query(
+        "SELECT doc, (EXTRACT(epoch FROM make_timestamp(2024, 3, (n % 27) + 1, " +
+          "n % 24, n % 60, n % 60, 0)))::int AS ep, " +
+          "array[n, n * 2, 7][2] AS n2 FROM seqlog WHERE n < 120",
+        lines(s, dir)).orderBy(col("doc"))),
+
+    // A13 quirk 3: aggregate DISTINCT fires only when HAVING is present —
+    // 20 source groups collapse to the distinct count-buckets.
+    "q_sql_distinct_having" -> ((s, dir) =>
+      engine(s).query(
+        "SELECT DISTINCT COUNT() / 1000 AS bucket FROM seqlog GROUP BY src HAVING COUNT() > 10",
+        lines(s, dir)).orderBy(col("bucket"))),
+
+    // J1/J4/J5: INNER JOIN with qualified names on both sides of ON, in
+    // projections, GROUP BY, and a WHERE over a joined column. The join
+    // table is parsed from its own log lines (the reference's
+    // table::'file' path, lines injected).
+    "q_sql_join" -> ((s, dir) =>
+      engine(s).query(
+        "SELECT seqlog.src AS src, srcdim.region AS region, COUNT() AS n_rows, " +
+          "SUM(seqlog.n) AS sum_n FROM seqlog " +
+          "INNER JOIN srcdim ON seqlog.src = srcdim.sname " +
+          "WHERE srcdim.tier >= 4 GROUP BY seqlog.src, srcdim.region",
+        lines(s, dir), joinLines = Some(dimLines(s, allSources)))),
+
+    // J3 through SQL: OUTER (= left outer) join, non-aggregate path —
+    // sources missing from the 3-row dimension keep NULL tier.
+    "q_sql_join_outer" -> ((s, dir) =>
+      engine(s).query(
+        "SELECT doc, src, srcdim3.tier AS tier FROM seqlog " +
+          "OUTER JOIN srcdim3 ON seqlog.src = srcdim3.sname WHERE n >= 320",
+        lines(s, dir), joinLines = Some(dimLines(s, allSources.take(3))))
+        .orderBy(col("doc")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -94,6 +163,40 @@ object SqlQueries {
         printf('%02d:%02d:%02d.000', n_tok % 24, __r3 % 60, (__r3 // 60) % 60) AS disp
       FROM tokenseq
       WHERE (n_tok % 24) * 3600 + (__r3 % 60) * 60 + ((__r3 // 60) % 60) >= 43200
-      ORDER BY doc""")
+      ORDER BY doc"""),
+    "q_sql_unary" -> (cte +
+      """SELECT doc, -n AS neg_n, (NOT (n >= 256)) AS small FROM ingest
+         WHERE NOT (src = 'web') AND -n <= -100 ORDER BY doc"""),
+    "q_sql_mkts" -> (cte +
+      """SELECT doc,
+         CAST(trunc(epoch(make_timestamp(2024, 3, (n % 27) + 1, n % 24, n % 60,
+           CAST(n % 60 AS DOUBLE)))) AS BIGINT) AS ep,
+         [n, n * 2, 7][2] AS n2
+         FROM ingest WHERE n < 120 ORDER BY doc"""),
+    "q_sql_distinct_having" -> (cte +
+      """SELECT DISTINCT CAST(count(*) // 1000 AS BIGINT) AS bucket
+         FROM ingest GROUP BY src HAVING count(*) > 10 ORDER BY bucket"""),
+    "q_sql_join" -> (cte.stripSuffix("\n") + dimCte("dim", all = true) +
+      """SELECT i.src AS src, d.region AS region, count(*) AS n_rows,
+         CAST(sum(i.n) AS BIGINT) AS sum_n
+         FROM ingest i JOIN dim d ON i.src = d.sname
+         WHERE d.tier >= 4 GROUP BY i.src, d.region ORDER BY src, region"""),
+    "q_sql_join_outer" -> (cte.stripSuffix("\n") + dimCte("dim3", all = false) +
+      """SELECT doc, src, d.tier AS tier
+         FROM ingest i LEFT OUTER JOIN dim3 d ON i.src = d.sname
+         WHERE i.n >= 320 ORDER BY doc""")
   )
+
+  /** DuckDB replica of [[dimLines]]: region/tier derived from the name. */
+  private def dimCte(name: String, all: Boolean): String = {
+    val names =
+      if (all) """SELECT 'src' || CAST(g AS VARCHAR) AS sname FROM generate_series(0, 16) t(g)
+                 UNION ALL SELECT unnest(['web', 'books', 'code']) AS sname"""
+      else "SELECT unnest(['web', 'books', 'code']) AS sname"
+    s""", $name AS (
+       |  SELECT sname, 'r' || CAST(length(sname) % 3 AS VARCHAR) AS region,
+       |         length(sname) AS tier
+       |  FROM ($names))
+       |""".stripMargin
+  }
 }

@@ -26,7 +26,10 @@ object Sinks {
   private def display(c: Column, dt: DataType): Column = dt match {
     case _: DoubleType | _: FloatType => format_string("%.2f", c)
     case _: StringType => concat(lit("'"), c, lit("'"))
-    case _: TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss.SSS")
+    // NTZ: naive parquet timestamps read as TimestampNTZType — same
+    // Display format (the reference has no zoned timestamps at all)
+    case _: TimestampType | _: TimestampNTZType =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss.SSS")
     case ArrayType(et, _) =>
       // {a, b}; null elements print NULL. transform() is an interpreted
       // HOF but sinks are a render-at-the-edge stage, not a hot loop.
@@ -59,7 +62,7 @@ object Sinks {
   def json(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq.map { f =>
       f.dataType match {
-        case _: TimestampType =>
+        case _: TimestampType | _: TimestampNTZType =>
           date_format(col(f.name), "yyyy-MM-dd HH:mm:ss.SSS").as(f.name)
         case _ => col(f.name)
       }

@@ -117,6 +117,11 @@ final class Translator(base: DataFrame, scope: Map[String, Column],
         }
         NullSemantics.boolOf(cmp) // NULL operand => false (P3)
       case "^" => powOf(l, r)
+      // documented SUPERSET: the reference's ArithmeticOperator has no
+      // modulo (model.rs:662-667) but our tokenizer/precedence table
+      // already admits `%`; C-style remainder (dividend sign), same as
+      // Spark's and DuckDB's `%`.
+      case "%" => l % r
       case "+" | "-" | "*" | "/" =>
         val lt = dtypeOf(l); val rt = dtypeOf(r)
         (op, lt, rt) match {
