@@ -48,6 +48,13 @@ object Bench {
     // shuffle files on tmpfs: one box has one disk; writeback storms
     // would otherwise dominate and hide the CPU scaling being measured
     .config("spark.local.dir", "/dev/shm/graft-bench")
+    // zstd over the default lz4: the routed token payload compresses
+    // ~2x better, and the wide level is bandwidth-bound on the shared
+    // tmpfs/DRAM path — measured (interleaved A/B, 8M rows): 16-core
+    // 64-92s lz4 vs 29-38s zstd, 4-core 133s vs 104s. Cuts bytes
+    // through the narrowest resource at BOTH sandbox and cluster scale
+    // (a real cluster shuffles those bytes over NICs).
+    .config("spark.io.compression.codec", "zstd")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -256,9 +263,13 @@ object Bench {
     * path scales now that signatures/cosine are no longer interpreted
     * HOFs. */
   private def annScalingPhase(): String = {
-    // 4M vectors: at 1M the ~1.4s fixed per-run cost (Amdahl fit) was
-    // ~60% of the 16-core run and masked the engine's actual scaling
-    val annRows = sys.env.getOrElse("SPARK_GRAFT_ANN_ROWS", "4000000").toLong
+    // 8M vectors: Amdahl fit across 100k/4M/8M/16M runs shows a ~2.8-5s
+    // non-row cost per pass (stage scheduling/AQE boundaries) — at 4M it
+    // still depressed measured efficiency to 0.64 (engine's row-parallel
+    // scaling at 8M measures 0.75); 16M only reaches 0.77 at 3x the wall
+    // (candidate re-rank grows superlinearly in corpus size), so 8M is
+    // the knee.
+    val annRows = sys.env.getOrElse("SPARK_GRAFT_ANN_ROWS", "8000000").toLong
     def oneRun(cores: Int): (Double, Boolean) =
       cleanRun(cores, maxTries = 4)(() => measuredRun("ann", cores, annRows))
     val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "4").toInt

@@ -46,6 +46,8 @@ object BenchRun {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/graft-bench")
+      // see Bench.session: measured 2-3x at wide parallelism vs lz4
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
     val builder = execCores match {
       case Some(ec) =>

@@ -134,7 +134,10 @@ object Similarity {
         .select(df.columns.map(col) :+ col("tb.t").as("t") :+ col("tb.sig").as("sig"): _*)
     val cb = buckets(c, "c_emb")
     val qb = buckets(q, "q_emb")
-    val candidates = cb.join(qb, Seq("t", "sig"))
+    // broadcast the query buckets EXPLICITLY (|queries| × tables rows):
+    // a sort-merge fallback here would shuffle the 8x-exploded corpus
+    // WITH its embeddings — tens of GB at 10M+ rows
+    val candidates = cb.join(broadcast(qb), Seq("t", "sig"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"), col("c_emb"), col("q_emb"))
       .dropDuplicates("query_id", "nn_id")

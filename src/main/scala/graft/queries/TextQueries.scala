@@ -28,6 +28,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end curation: the composed training-data flow — quality
+    // gate + language filter + exact dedup + per-source accounting — in
+    // ONE plan: scan -> shuffle-free scoring/filter (codegen WordCounts)
+    // -> single digest shuffle (dedup survivor) -> 2-phase hash agg.
+    "q_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .withColumn("pred", TextAnalysis.langId(col("text")))
+        .filter(col("q") >= 0.5 && col("pred") === "en")
+      Dedup.exact(d, col("text"), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text"))).as("sum_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Exact-duplicate audit: distinct text digests per source.
     "q_dedup_stats" -> ((s, dir) => {
       docs(s, dir).groupBy(col("source"))
@@ -179,6 +195,32 @@ object TextQueries {
                 WHEN s_fr = b THEN 'fr' WHEN s_es = b THEN 'es'
                 ELSE 'zh' END AS pred, count(*) AS n
          FROM best GROUP BY 1, 2 ORDER BY lang, pred"""
+    },
+    "q_curate" -> {
+      // pred = 'en' ⟺ s_en = max ∧ max > 0 (en wins ties: it is the
+      // outermost WHEN in langId's foldRight)
+      val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+        val parts = ws.map(w =>
+          s"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x = '$w'))")
+        s"(${parts.mkString(" + ")}) AS s_$l"
+      }.mkString(", ")
+      s"""WITH sc AS (SELECT doc_id, source, text, $scores,
+           regexp_split_to_array(text, '\\s+') AS words,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct
+         FROM documents),
+         scored AS (SELECT doc_id, source, text, words,
+           greatest(s_en, s_de, s_fr, s_es, s_zh) AS b, s_en,
+           round((CASE WHEN len(words) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN CAST(len(list_filter(list_transform(words, w -> lower(w)),
+                  w -> w IN ('the','and','of','a','to','in'))) AS DOUBLE) / len(words) > 0.01
+                THEN 1.0 ELSE 0.6 END)
+             * (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 1.0 ELSE 0.7 END), 4) AS q
+         FROM sc),
+         kept AS (SELECT * FROM scored WHERE q >= 0.5 AND b > 0 AND s_en = b
+           QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+         SELECT source, count(*) AS n_docs, CAST(sum(len(words)) AS BIGINT) AS sum_tokens
+         FROM kept GROUP BY source ORDER BY source"""
     },
     "q_quality" ->
       """WITH s AS (SELECT doc_id, text,

@@ -301,6 +301,15 @@ class SqlEngineSpec extends SparkSpec {
     assert(r.getString(1) === "cherry")
   }
 
+  test("% modulo: documented superset (reference grammar has no modulo, model.rs:662-667)") {
+    import spark.implicits._
+    val e = new SqlEngine(spark)
+    e.addTables("CREATE TABLE t(line = '(-?\\\\d+)', line[1] => n INT);")
+    val lines = Seq("17", "-17", "6").toDF("value")
+    val r = e.query("SELECT n % 5 AS m FROM t", lines).collect().map(_.getLong(0)).toSeq
+    assert(r === Seq(2L, -2L, 1L)) // C-style remainder: dividend sign
+  }
+
   test("multi-statement execution: CREATE TABLE + SELECT in one input (Statement::Multiple)") {
     import spark.implicits._
     val e = new SqlEngine(spark)
