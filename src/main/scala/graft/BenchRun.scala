@@ -83,6 +83,18 @@ object BenchRun {
       val routed = LogPipeline.parseEnrichRoute(spark, seqs, shuffleParts)
       routed.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
+    // decomposition diagnostic: the pipeline WITHOUT the route shuffle —
+    // generation + render + regex parse + enrich, noop-terminated. The
+    // gap between this mode's N→4N efficiency and the full pipeline's is
+    // attributable to the shuffle (tmpfs/DRAM bandwidth on this box, NIC
+    // bandwidth a real cluster scales per node).
+    case "parse" =>
+      val t0 = System.nanoTime()
+      val seqs = TokenSequences.synthetic(spark, rows, inputParts)
+      val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
+      val enriched = LogPipeline.enrich(parsed, LogPipeline.sourceDim(spark))
+      enriched.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     case "ann" =>
       import graft.functions.EmbedGen
       import graft.operators.Similarity
