@@ -49,15 +49,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingle
 
-  /** Word n-gram shingles from a text column (lowercased, space-split). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(lower(text), "\\s+")
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => when(i + n <= size(words),
-          array_join(slice(words, i + 1, lit(n)), " "))),
-      x => x.isNotNull))
-  }
+  /** Word n-gram shingles from a text column (lowercased, space-split).
+    * Codegen'd single-scan expression — the HOF formulation it replaces
+    * (`array_distinct(filter(transform(sequence(...), ...)))`) evaluated
+    * interpreted lambdas per shingle per row; identical output, see
+    * [[graft.functions.Shingles]]. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Shingles(text, n)
 
   // ---------------------------------------------------------------- minhash
 

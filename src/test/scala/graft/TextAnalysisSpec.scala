@@ -70,6 +70,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("Shingles matches the HOF formulation it replaced, on every tricky input") {
+    import graft.functions.Shingles
+    val inputs = tricky ++ Seq("a b", "a b c", "one", "a  b\t c ", "  ", "x y x y x y")
+    val df = inputs.toDF("text")
+    def hof(n: Int) = {
+      val words = split(lower(col("text")), "\\s+")
+      array_distinct(filter(
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => when(i + n <= size(words),
+            array_join(slice(words, i + 1, lit(n)), " "))),
+        x => x.isNotNull))
+    }
+    Seq(1, 2, 3).foreach { n =>
+      val got = df.select(Shingles(col("text"), n)).as[Seq[String]].collect().toSeq
+      val want = df.select(hof(n)).as[Seq[String]].collect().toSeq
+      assert(got === want, s"shingle n=$n diverges")
+    }
+  }
+
   test("langId plan contains no interpreted HOF nodes") {
     val df = Seq("the and of").toDF("text")
       .select(TextAnalysis.langId(col("text")).as("pred"))
