@@ -65,9 +65,6 @@ object NullSemantics {
   def is(l: Column, r: Column): Column = l <=> r
   def isNot(l: Column, r: Column): Column = !(l <=> r)
 
-  /** Reference float display `{:.2}` (`src/model.rs:335-343`). */
-  def formatReal(c: Column): Column = format_number(c, 2)
-
   /** Reference interval display `HH:MM:SS.mmm` (`src/model.rs:345-350`).
     * Input: interval in microseconds. */
   def formatInterval(micros: Column): Column = {

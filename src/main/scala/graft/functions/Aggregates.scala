@@ -14,8 +14,11 @@ object Aggregates {
 
   /** Integer AVG truncates (integer division, reference
     * `src/execution/aggregate_execution.rs:483`): `sum(x) / count(x)`
-    * in integer arithmetic, not Spark's `avg` (which returns double). */
-  def avgInt(c: Column): Column = (sum(c) / count(c)).cast(LongType)
+    * in integer arithmetic, not Spark's `avg` (which returns double).
+    * `div` (IntegralDivide) keeps the whole computation in longs with
+    * truncation toward zero, exactly like Rust `i64 /` — the previous
+    * double-division-then-cast was exact only for |sum| below 2^53. */
+  def avgInt(c: Column): Column = call_function("div", sum(c), count(c))
 
   /** Population variance/stddev (reference formula
     * `(Σx² − (Σx)²/n)/n`, `src/execution/aggregate_execution.rs:519-526`)

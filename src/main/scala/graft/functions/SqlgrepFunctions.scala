@@ -36,22 +36,32 @@ object SqlgrepFunctions {
 
   /** `expr::int` on an interval: whole seconds
     * (reference `src/execution/expression_execution.rs:539-541`,
-    * chrono `num_seconds` truncates toward zero, as does Spark's
-    * long division). Interval is carried as microseconds. */
+    * chrono `num_seconds` truncates toward zero). Interval is carried as
+    * microseconds. Pure LONG arithmetic (`div` = IntegralDivide,
+    * truncation toward zero like Rust `i64 /`) — the previous
+    * route-through-double was exact only below 2^53 microseconds. */
   def intervalToIntSeconds(micros: Column): Column =
-    (micros.cast(DoubleType) / 1e6).cast(LongType)
+    call_function("div", micros, lit(1000000L))
 
   /** `expr::real` on an interval: fractional seconds at MILLISECOND
     * resolution — the reference computes `num_milliseconds() / 1000.0`
-    * (`expression_execution.rs:542-544`), so sub-ms micros truncate. */
+    * (`expression_execution.rs:542-544`), so sub-ms micros truncate.
+    * Millis computed in long arithmetic (exact past 2^53), then one
+    * final exact-by-construction double division. */
   def intervalToRealSeconds(micros: Column): Column =
-    (micros.cast(DoubleType) / 1e3).cast(LongType).cast(DoubleType) / 1000.0
+    call_function("div", micros, lit(1000L)).cast(DoubleType) / 1000.0
 
   /** `'H:M:S'::interval` — ValueType::parse (`src/model.rs:386-392`):
-    * failure yields NULL. */
+    * failure yields NULL. Each part must be a whole number
+    * (`i64::from_str` — rejects `3.5`, which a bare non-ANSI Spark cast
+    * would silently truncate to 3); a huge part overflows the cast to
+    * NULL in both engines. */
   def parseInterval(s: Column): Column = {
     val p = split(s, ":")
-    when(size(p) === 3,
+    val whole = "^[+-]?\\d+$"
+    when(size(p) === 3
+        && p.getItem(0).rlike(whole) && p.getItem(1).rlike(whole)
+        && p.getItem(2).rlike(whole),
       (p.getItem(0).cast(LongType) * 3600000000L)
         + (p.getItem(1).cast(LongType) * 60000000L)
         + (p.getItem(2).cast(LongType) * 1000000L))

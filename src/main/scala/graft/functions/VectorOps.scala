@@ -76,7 +76,8 @@ object EmbedGen {
 /** Cosine similarity of two vectors in double precision, bit-identical
   * to the previous `aggregate(zip_with(a, b, *), 0.0, +)` formulation
   * (same element order, same double accumulation). NULL if either array
-  * is NULL or any traversed element is NULL. */
+  * is NULL, any element is NULL, or the lengths differ (zip_with
+  * null-pads the shorter array, poisoning the products to NULL). */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -105,9 +106,11 @@ object CosineSim {
   def apply(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
-  /** dot(a,b) / (|a| * |b|); null on null elements (zip_with parity). */
+  /** dot(a,b) / (|a| * |b|); null on null elements or a length mismatch
+    * (zip_with parity — it null-pads the shorter side). */
   def compute(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

@@ -61,11 +61,28 @@ object TokenSequences {
     * exact plan a 100 TB reviewer rejects; PlanQualitySpec now asserts
     * its absence. */
   def fromLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val rawSeqId = (col("l_orderkey") * lit(34359738368L) // 2^35
+      + col("l_linenumber") * lit(4294967296L)            // 2^32
+      + col("l_partkey") * lit(16384L)                    // 2^14
+      + col("l_suppkey")).cast(LongType)
+    // Injectivity guard: the arithmetic id is injective only while
+    // lnum < 2^3, pkey < 2^18, skey < 2^14. TPC-H-shaped data exceeds
+    // pkey = 2^18 around SF 1.3, and a violation is SILENT (both engines
+    // compute identical colliding ids, so oracle gates stay green while
+    // doc_ids duplicate) — so fail loudly per offending row instead.
+    // One codegen'd branch on the tiny pre-expansion key projection.
+    val seqId = when(
+      col("l_linenumber") >= 8L || col("l_linenumber") < 0L
+        || col("l_partkey") >= 262144L || col("l_partkey") < 0L
+        || col("l_suppkey") >= 16384L || col("l_suppkey") < 0L,
+      raise_error(format_string(
+        "TokenSequences.fromLineitem: seq_id key bounds exceeded " +
+          "(l_linenumber=%s l_partkey=%s l_suppkey=%s) — arithmetic id no " +
+          "longer injective; widen the bit layout",
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))))
+      .otherwise(rawSeqId)
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select((col("l_orderkey") * lit(34359738368L) // 2^35
-        + col("l_linenumber") * lit(4294967296L)     // 2^32
-        + col("l_partkey") * lit(16384L)             // 2^14
-        + col("l_suppkey")).cast(LongType).as("seq_id"))
+      .select(seqId.as("seq_id"))
       // The generator EXPANDS ~200x (4 keys in, ~500-token arrays out), so
       // partitioning must follow OUTPUT size, not the (tiny) scan: a 10 MB
       // lineitem file is one scan split, which would serialize the whole

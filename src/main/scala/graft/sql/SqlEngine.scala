@@ -74,14 +74,22 @@ final class SqlEngine(spark: SparkSession) {
     * (it blocks until the action completes). */
   def queryWithStats(sql: String, lines: DataFrame,
       joinLines: Option[DataFrame] = None): (DataFrame, () => RunStats) = {
+    val stmt = Parser.parseQuery(sql)
+    // Resolve a `::'file'` FROM source HERE, before observing: runSelect
+    // would otherwise replace `lines` with its own spark.read.text, the
+    // observed plan would never execute, and the stats() thunk's
+    // Observation.get would block forever.
+    val src = stmt.fromFile.map(f => spark.read.text(f)).getOrElse(lines)
     val obsIn = org.apache.spark.sql.Observation()
     val obsOut = org.apache.spark.sql.Observation()
     val t0 = System.nanoTime()
-    val inCol = col(lines.columns.head)
-    val observedIn = lines.observe(obsIn,
+    val inCol = col(src.columns.head)
+    // octet_length: the reference reports BYTES ingested (reader-level
+    // byte count) — length() counts characters and undercounts UTF-8
+    val observedIn = src.observe(obsIn,
       count(lit(1)).as("lines"),
-      coalesce(sum(length(inCol).cast("long")), lit(0L)).as("bytes"))
-    val out = runSelect(Parser.parseQuery(sql), observedIn, joinLines)
+      coalesce(sum(octet_length(inCol).cast("long")), lit(0L)).as("bytes"))
+    val out = runSelect(stmt.copy(fromFile = None), observedIn, joinLines)
       .observe(obsOut, count(lit(1)).as("rows"))
     val stats = () => RunStats(
       seconds = (System.nanoTime() - t0) / 1e9,

@@ -69,7 +69,7 @@ class ExtractorSpec extends SparkSpec {
     assert(df.filter(col("hostname").isNull).count() === 0)
   }
 
-  test("BOOLEAN column = group existence, never NULL (src/data_model.rs:339-353)") {
+  test("BOOLEAN column = group existence on matched lines (src/data_model.rs:339-353)") {
     val tdef = connections.copy(columns =
       connections.columns :+ ColumnDef("has_host", ValueType.BoolT, g(2)))
     val df = Extractor.parse(sampleLines.toDF("value"), tdef)

@@ -338,4 +338,64 @@ class SqlEngineSpec extends SparkSpec {
     assert(st.rowsMatched === 2)
     assert(st.seconds > 0)
   }
+
+  test("run stats: ::'file' source is the observed plan (no hang) and bytes are octets") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    val e = new SqlEngine(spark)
+    e.addTables("CREATE TABLE m(line = 'n=(\\\\d+)', line[1] => n INT);")
+    val f = Files.createTempFile("graft-stats", ".log")
+    try {
+      val lines = Seq("n=5 é", "n=12", "junk") // é = 2 bytes UTF-8
+      Files.write(f, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val (df, stats) = e.queryWithStats(
+        s"SELECT n FROM m::'${f.toAbsolutePath}' WHERE n > 5",
+        spark.emptyDataFrame) // `lines` must be ignored for a ::'file' source
+      assert(df.count() === 1)
+      val st = stats() // regression: used to block forever (observed plan never ran)
+      assert(st.linesProcessed === 3)
+      assert(st.bytesProcessed ===
+        lines.map(_.getBytes(StandardCharsets.UTF_8).length).sum) // 11, not 10 chars
+      assert(st.rowsMatched === 1)
+    } finally Files.deleteIfExists(f)
+  }
+
+  test("interval parse is strict: fractional or junk parts -> NULL, not truncated") {
+    import spark.implicits._
+    val e = new SqlEngine(spark)
+    e.addTables("CREATE TABLE t(line = '(.+)', line[1] => s TEXT);")
+    val lines = Seq("0:0:3.5", "1:2:3", "0:0:", "x:0:0", "-1:0:30").toDF("value")
+    val r = e.query("SELECT s, (s::interval)::int AS secs FROM t", lines)
+      .collect().map(row => row.getString(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(r("0:0:3.5").isEmpty) // reference i64::from_str fails -> NULL (not 3)
+    assert(r("1:2:3") === Some(3723L))
+    assert(r("0:0:").isEmpty)
+    assert(r("x:0:0").isEmpty)
+    assert(r("-1:0:30") === Some(-3570L)) // signed parts parse like i64::from_str
+  }
+
+  test("integer AVG is exact past 2^53 (long div, not double round-trip)") {
+    import spark.implicits._
+    // sum = 2^55 + 6: not double-representable (spacing 4 at 2^55, ties-to-even
+    // rounds to 2^55 + 8) — the old double-division path returned ...88 here
+    val a = 18014398509481985L // 2^54 + 1
+    val b = 18014398509481989L // 2^54 + 5
+    val df = Seq(a, b).toDF("v")
+    val got = df.agg(graft.functions.Aggregates.avgInt(org.apache.spark.sql.functions.col("v")).as("m"))
+      .collect()(0).getLong(0)
+    assert(got === 18014398509481987L) // (2^55+6)/2 exactly
+    // property: agreement with BigInt truncating division on random large longs
+    val rnd = new scala.util.Random(42)
+    val groups = (0 until 60).map { g =>
+      val n = 1 + rnd.nextInt(3)
+      g.toLong -> Seq.fill(n)(rnd.nextLong() >> 2) // |v| < 2^61: no group-sum overflow
+    }
+    val data = groups.flatMap { case (g, vs) => vs.map(g -> _) }.toDF("g", "v")
+    val avgs = data.groupBy("g").agg(graft.functions.Aggregates.avgInt(org.apache.spark.sql.functions.col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    groups.foreach { case (g, vs) =>
+      val expect = (vs.map(BigInt(_)).sum / vs.length).toLong // BigInt / truncates toward zero
+      assert(avgs(g) === expect, s"group $g: ${vs.mkString(",")}")
+    }
+  }
 }
