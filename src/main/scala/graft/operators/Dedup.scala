@@ -60,11 +60,13 @@ object Dedup {
   // ---------------------------------------------------------------- minhash
 
   /** MinHash signature: `numHashes` seeded murmur3 minima over the
-    * shingle set — one `array_min(transform(...))` per hash, all inside
-    * whole-stage codegen. */
+    * shingle set — one codegen'd scan that hashes each shingle's bytes
+    * once ([[graft.functions.MinHashSignature]]; bit-identical to the
+    * `array_min(transform(sh, s => hash(s, seed)))`-per-seed HOF
+    * formulation it replaces, which was interpreted CodegenFallback —
+    * Spark higher-order functions do not codegen). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(shingleCol, s => hash(s, lit(seed))))): _*)
+    graft.functions.MinHashSignature(shingleCol, numHashes)
 
   /** LSH band keys: signature split into `bands` bands of
     * `numHashes/bands` rows; two docs land in the same bucket for a band

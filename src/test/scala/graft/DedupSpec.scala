@@ -84,6 +84,31 @@ class DedupSpec extends SparkSpec {
     assert(h <= 24, s"hamming $h unexpectedly large")
   }
 
+  test("MinHashSignature is bit-identical to the HOF formulation it replaced") {
+    val sh = corpus.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val numHashes = 32
+    val hof = array((0 until numHashes).map(seed =>
+      array_min(transform(col("sh"), s => hash(s, lit(seed))))): _*)
+    val both = sh.select(col("id"),
+      Dedup.minhashSignature(col("sh"), numHashes).as("fast"), hof.as("slow"))
+    assert(both.filter(not(col("fast") <=> col("slow"))).count() === 0)
+    // codegen path matches interpreted eval (determinism across runs)
+    val a = both.select("fast").collect().map(_.getSeq[Int](0))
+    val b = both.select("fast").collect().map(_.getSeq[Int](0))
+    assert(a.map(_.toList).toSeq === b.map(_.toList).toSeq)
+  }
+
+  test("cosine is NULL on length mismatch (zip_with null-pad parity)") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(Dedup.cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0), "mismatched lengths must yield NULL, not a prefix dot")
+  }
+
   test("ngram jaccard within blocks finds planted pairs with exact scores") {
     val blocked = corpus.withColumn("blk", when(col("id") >= 1000, 1).otherwise(col("id") % 5))
     val pairs = Dedup.ngramJaccard(blocked, col("id"), col("text"), col("blk"),

@@ -106,6 +106,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("near-dup signature paths contain no interpreted HOF nodes") {
+    // MinHash signatures were the last interpreted-HOF hot path: Spark
+    // higher-order functions (ArrayTransform/ArrayAggregate/ZipWith) are
+    // CodegenFallback and scale negatively at wide parallelism.
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = executedPlan(Dedup.minhashLsh(docs, col("doc_id"), col("text")))
+    Seq("ArrayTransform", "ArrayAggregate", "ArrayFilter", "ZipWith").foreach(h =>
+      assert(!plan.contains(h), s"interpreted HOF $h in minhashLsh plan:\n$plan"))
+    assert(plan.contains("minhash_signature"), s"codegen signature missing:\n$plan")
+  }
+
   test("salted route repartitions on (sink, salt) - skew never lands one sink on one task") {
     val seqs = TokenSequences.synthetic(spark, 1000L, 4)
     val routed = LogPipeline.parseEnrichRoute(spark, seqs, partitions = 8)
