@@ -52,21 +52,25 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
-    // n-gram Jaccard near-dup pairs, blocked by source. The gate query
-    // runs on a deterministic 1-in-5 sample: the within-block self-join
-    // is O(block^2) by design and the correctness gate doesn't need the
-    // full quadratic at sf0.1 (the operator itself is size-agnostic).
+    // n-gram Jaccard near-dup pairs, blocked by source, over the FULL
+    // documents table. Threshold 0.02: the fixture corpus has exactly one
+    // genuinely near-duplicate pair (max jaccard 0.97), so a "real"
+    // threshold gives the oracle an (almost) empty set to compare — at
+    // 0.02 the sf0.01 gate emits ~21 (id_a, id_b, jaccard) rows, i.e. the
+    // inverted-index rewrite's scores are actually cross-checked against
+    // DuckDB's list_intersect arithmetic, not vacuously schema-matched.
     "q_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(docs(s, dir).filter(col("doc_id") % 5 === 0),
+      Dedup.ngramJaccard(docs(s, dir),
           col("doc_id"), col("text"),
-          col("source"), shingleN = 3, threshold = 0.3)
+          col("source"), shingleN = 3, threshold = 0.02)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Embedding cosine near-dup pairs within label blocks (1-in-5
-    // deterministic sample, same rationale as q_ngram_jaccard).
+    // Embedding cosine near-dup pairs within label blocks, full table
+    // (~26 qualifying pairs at sf0.01 — the round-2 1-in-5 sample left a
+    // single-row, near-vacuous gate).
     "q_embed_neardup" -> ((s, dir) => {
-      Dedup.embeddingNearDup(embs(s, dir).filter(col("vec_id") % 5 === 0),
+      Dedup.embeddingNearDup(embs(s, dir),
           col("vec_id"), col("embedding"),
           col("label"), threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
@@ -148,17 +152,17 @@ object TextQueries {
                i -> array_to_string(words[i:i+2], ' '))) AS sh
            FROM (SELECT doc_id, source,
                    regexp_split_to_array(lower(text), '\s+') AS words
-                 FROM documents WHERE doc_id % 5 = 0))
+                 FROM documents))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND jaccard >= 0.3
+         WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND jaccard >= 0.02
          ORDER BY id_a, id_b""",
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id % 5 = 0)
+           FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_inner_product(a.v, b.v) /
              (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_r
