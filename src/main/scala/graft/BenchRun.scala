@@ -107,6 +107,24 @@ object BenchRun {
           queries, col("id"), col("emb"), k = 10)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
+    // decomposition diagnostic: the ANN map stage alone — generate
+    // corpus, sign + probe the broadcast query index, emit candidate
+    // tuples to a noop sink with no top-k shuffle. The gap between this
+    // mode's scaling and full `ann` is attributable to the window.
+    case "annprobe" =>
+      import graft.functions.{EmbedGen, LshCandidates, LshQueryIndex}
+      val t0 = System.nanoTime()
+      val queries = spark.range(rows, rows + 64)
+        .select(col("id"), EmbedGen(col("id"), lit(64)).as("emb"))
+      val index = LshQueryIndex.build(
+        queries.select(col("emb").cast("array<double>")).collect()
+          .map(_.getSeq[Double](0).toArray), 8, 12)
+      spark.range(0, rows, 1, inputParts)
+        .select(col("id"), EmbedGen(col("id"), lit(64)).as("emb"))
+        .select(col("id").as("nn_id"),
+          explode(LshCandidates(col("emb"), index)).as("m"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     case other => sys.error(s"unknown BenchRun mode: $other")
   }
 }

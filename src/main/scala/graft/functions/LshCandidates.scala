@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** A broadcast LSH index of the (small) QUERY side of an ANN search:
+  * per-table signature → query-index buckets, plus the L2-normalized
+  * query embeddings. Built once on the driver (query metadata, like the
+  * IVF centroid matrix — NOT corpus data) and shipped to executors as a
+  * plan reference object. */
+final class LshQueryIndex(
+    val qnorm: Array[Array[Double]],
+    val tables: Int,
+    val planes: Int,
+    val buckets: Array[java.util.HashMap[java.lang.Long, Array[Int]]],
+    /** [table][plane][dim] hyperplane sign matrices, materialized once at
+      * build time so the per-row hot loop touches no shared cache (a
+      * global ConcurrentHashMap lookup per row serialized task threads
+      * through its bin locks). ~tables × planes × dims × 8 B. */
+    val signs: Array[Array[Array[Double]]])
+  extends Serializable
+
+object LshQueryIndex {
+  def build(qEmbs: Array[Array[Double]], tables: Int, planes: Int): LshQueryIndex = {
+    require(qEmbs.nonEmpty, "LshQueryIndex: empty query set")
+    val dims = qEmbs(0).length
+    val signs = Array.tabulate(tables, planes, dims)((t, p, d) =>
+      LshSignature.sign(t, p, d))
+    val buckets = Array.fill(tables)(
+      new java.util.HashMap[java.lang.Long, scala.collection.mutable.ArrayBuffer[Int]]())
+    var t = 0
+    while (t < tables) {
+      var qi = 0
+      while (qi < qEmbs.length) {
+        // sign of a projection is scale-invariant: signatures of the raw
+        // and the normalized embedding are identical
+        val sig = LshCandidates.signatureOf(qEmbs(qi), signs(t), planes)
+        buckets(t).computeIfAbsent(sig, _ => scala.collection.mutable.ArrayBuffer[Int]()) += qi
+        qi += 1
+      }
+      t += 1
+    }
+    val frozen = buckets.map { m =>
+      val out = new java.util.HashMap[java.lang.Long, Array[Int]](m.size())
+      m.forEach((k, v) => out.put(k, v.toArray))
+      out
+    }
+    new LshQueryIndex(qEmbs.map(normalize), tables, planes, frozen, signs)
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v.clone() else v.map(_ / n)
+  }
+}
+
+/** Map-side LSH candidate probe: for one corpus embedding, every query
+  * sharing a bucket in at least one of the index's hash tables, emitted
+  * as `array<struct<qidx:int, cos:double>>` with the exact cosine
+  * already computed (query side pre-normalized, so per match it is one
+  * dot product over the corpus row divided by the row's norm).
+  *
+  * This replaces the explode-corpus-×-tables → broadcast-equi-join →
+  * dedup formulation, whose scale problem was not the join but the
+  * EXPLODE: `tables` copies of each ~256-byte embedding per corpus row
+  * (~2 KB/row of pure memory traffic — measured bandwidth-saturation at
+  * wide parallelism, 0.67 N→4N efficiency on a 24M-row corpus). Here
+  * the corpus is scanned once, nothing is copied per table, per-table
+  * matches are deduped in-expression via a bitmap, and the only rows
+  * that exist downstream are actual candidates (expected
+  * `|queries| × tables / 2^planes` per corpus row — ~0.125 at the
+  * defaults). NULL elements contribute 0 (LshSignature convention). */
+case class LshCandidates(child: Expression, index: LshQueryIndex)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("qidx", IntegerType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "lsh_candidates"
+
+  private lazy val isF = VectorOps.isFloatArray(child)
+
+  override def nullSafeEval(a: Any): Any =
+    LshCandidates.compute(a.asInstanceOf[ArrayData], isF, index)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("lshQueryIndex", index, classOf[LshQueryIndex].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshCandidates.compute($a, $isF, $idx);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshCandidates {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(emb: Column, index: LshQueryIndex): Column =
+    Bridge.column(LshCandidates(Bridge.expression(emb), index))
+
+  /** Signature of a double vector against one table's sign matrix. */
+  private[functions] def signatureOf(v: Array[Double],
+      tableSigns: Array[Array[Double]], planes: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val row = tableSigns(p)
+      val n = math.min(v.length, row.length)
+      var proj = 0.0; var i = 0
+      while (i < n) { proj += v(i) * row(i); i += 1 }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  private val Empty = new GenericArrayData(new Array[Any](0))
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(a: ArrayData, aF: Boolean, idx: LshQueryIndex): ArrayData = {
+    val dims = a.numElements()
+    // one local copy of the row: the signature loops make
+    // tables × planes passes and each match one more — ArrayData
+    // accessor dispatch per element would dominate
+    val v = new Array[Double](dims)
+    var norm2 = 0.0
+    var i = 0
+    while (i < dims) {
+      if (!a.isNullAt(i)) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        v(i) = x; norm2 += x * x
+      }
+      i += 1
+    }
+    var bitmap: Array[Long] = null // lazily allocated: most rows match nothing
+    var t = 0
+    while (t < idx.tables) {
+      val hit = idx.buckets(t).get(signatureOf(v, idx.signs(t), idx.planes))
+      if (hit != null) {
+        if (bitmap == null) bitmap = new Array[Long]((idx.qnorm.length >> 6) + 1)
+        var j = 0
+        while (j < hit.length) {
+          val q = hit(j)
+          bitmap(q >> 6) |= 1L << (q & 63)
+          j += 1
+        }
+      }
+      t += 1
+    }
+    if (bitmap == null) return Empty
+    val norm = math.sqrt(norm2)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var w = 0
+    while (w < bitmap.length) {
+      var bits = bitmap(w)
+      while (bits != 0L) {
+        val q = (w << 6) + java.lang.Long.numberOfTrailingZeros(bits)
+        bits &= bits - 1
+        val qn = idx.qnorm(q)
+        var dot = 0.0; var d = 0
+        while (d < dims) { dot += v(d) * qn(d); d += 1 }
+        val row = new GenericInternalRow(2)
+        row.setInt(0, q)
+        row.setDouble(1, dot / norm)
+        out += row
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

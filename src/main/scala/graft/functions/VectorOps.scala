@@ -249,10 +249,19 @@ object LshSignature {
   // (table, planes, dims) -> [plane][dim] sign matrix, built once per JVM.
   private val signCache = new ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
-  private def signs(table: Int, planes: Int, dims: Int): Array[Array[Double]] =
-    signCache.computeIfAbsent((table, planes, dims), { case (t, p, d) =>
+  private[functions] def signs(table: Int, planes: Int, dims: Int): Array[Array[Double]] = {
+    // plain get first: computeIfAbsent takes a synchronized slow path
+    // whenever the key is not the first node of its bin EVEN WHEN
+    // PRESENT — with per-row callers at wide parallelism that lock
+    // serializes every task thread (measured: a pure map stage pinned
+    // at ~5 busy cores of 16)
+    val key = (table, planes, dims)
+    val hit = signCache.get(key)
+    if (hit != null) hit
+    else signCache.computeIfAbsent(key, { case (t, p, d) =>
       Array.tabulate(p, d)((pl, di) => sign(t, pl, di))
     })
+  }
 
   def compute(a: ArrayData, aF: Boolean, table: Int, planes: Int): Long = {
     val n = a.numElements()
