@@ -29,7 +29,7 @@ object BenchRun {
     val rows = args(2).toLong
     val inputParts = args.lift(3).map(_.toInt).getOrElse(256)
     val shuffleParts = args.lift(4).map(_.toInt).getOrElse(128)
-    val warmRows = math.max(rows / 8, 1L)
+    val warmRows = math.max(math.min(rows / 8, 2000000L), 1L)
 
     // Cluster simulation: with SPARK_GRAFT_EXEC_CORES set, run a
     // local-cluster master — one REAL executor JVM per `execCores`
