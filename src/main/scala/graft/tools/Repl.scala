@@ -79,6 +79,56 @@ object Repl {
     case ValueType.ArrayT(e) => typeName(e) + "[]"
   }
 
+  /** Statement-completeness rule (reference InputValidator,
+    * `src/main.rs:318-331`): `exit` and `\d` are complete as-is; anything
+    * else continues onto the next line until a terminating `;`. */
+  private[tools] def isComplete(input: String): Boolean = {
+    val t = input.trim
+    t == "exit" || t.startsWith("\\d") || t.endsWith(";")
+  }
+
+  /** Completion word bank (reference `create_completion_words`,
+    * `src/main.rs:304-316` + `src/parsing/mod.rs:54-58`): SQL keywords,
+    * function names, and the LIVE table/column names — recomputed per
+    * completion so CREATE TABLE statements typed in-session complete. */
+  private[tools] def completionWords(eng: SqlEngine): Seq[String] = {
+    val keywords = Seq("SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING",
+      "CREATE", "TABLE", "AND", "OR", "NOT", "IS", "IN", "AS", "CASE", "WHEN",
+      "THEN", "ELSE", "END", "EXTRACT", "INNER", "OUTER", "JOIN", "ON",
+      "LIMIT", "DISTINCT", "DEFAULT")
+    val functions = Seq("COUNT", "MIN", "MAX", "SUM", "AVG", "STDDEV",
+      "VARIANCE", "PERCENTILE", "BOOL_AND", "BOOL_OR", "ARRAY_AGG",
+      "STRING_AGG", "LEAST", "GREATEST", "ABS", "SQRT", "POW", "LENGTH",
+      "UPPER", "LOWER", "REGEXP_MATCHES", "ARRAY_UNIQUE", "ARRAY_LENGTH",
+      "ARRAY_CAT", "ARRAY_APPEND", "ARRAY_PREPEND", "NOW", "MAKE_TIMESTAMP",
+      "DATE_TRUNC")
+    keywords ++ functions ++ eng.tableNames ++
+      eng.tableNames.flatMap(n => eng.tableDef(n).columns.map(_.name))
+  }
+
+  /** Line-buffering REPL driver, shared by the JLine and plain paths
+    * (and unit-testable without a terminal): accumulates lines until
+    * [[isComplete]], then dispatches the whole statement. EOF flushes a
+    * pending buffer. `dispatch` returns true to stop (exit). */
+  private[tools] def processLines(lines: Iterator[String],
+      dispatch: String => Boolean): Unit = {
+    val buf = new StringBuilder
+    var done = false
+    while (!done && lines.hasNext) {
+      val line = lines.next()
+      val candidate = if (buf.isEmpty) line else s"$buf\n$line"
+      if (candidate.trim.isEmpty) ()
+      else if (isComplete(candidate)) {
+        buf.setLength(0)
+        done = dispatch(candidate.trim)
+      } else {
+        buf.setLength(0)
+        buf.append(candidate)
+      }
+    }
+    if (!done && buf.nonEmpty) dispatch(buf.toString.trim)
+  }
+
   /** Aligned-columns table (reference TablePrinter, src/helpers.rs:4-80). */
   private def printTable(header: Seq[String], rows: Seq[Seq[String]]): Unit = {
     val all = header +: rows
@@ -194,21 +244,84 @@ object Repl {
         try runStatements(cmd)
         catch { case e: Exception => println(s"error: ${e.getMessage}"); sys.exit(1) }
       case None =>
-        val in = new BufferedReader(new InputStreamReader(System.in))
-        var done = false
-        while (!done) {
-          print("> ")
-          Console.flush()
-          val line = in.readLine()
-          if (line == null || line.trim == "exit") done = true
-          else if (line.trim.isEmpty) ()
-          else if (line.trim.startsWith("\\d")) describe(eng, line.trim.split("\\s+"))
+        // Ctrl-C (reference ctrlc handler, src/main.rs:77-85): exit when
+        // idle, cancel the RUNNING query otherwise — the REPL survives
+        // an interrupted long query instead of dying with it.
+        val running = new java.util.concurrent.atomic.AtomicBoolean(false)
+        try {
+          sun.misc.Signal.handle(new sun.misc.Signal("INT"),
+            (_: sun.misc.Signal) => {
+              // interruptOnCancel (set with the job group below) also
+              // interrupts the task threads, freeing their slots now
+              if (running.compareAndSet(true, false))
+                spark.sparkContext.cancelJobGroup("graft-repl")
+              else sys.exit(0)
+            })
+        } catch { case _: Throwable => () } // hardened JVMs may refuse handlers
+
+        def dispatch(stmt: String): Boolean = {
+          if (stmt == "exit") true
+          else if (stmt.startsWith("\\d")) { describe(eng, stmt.split("\\s+")); false }
           else {
-            try runStatements(line)
+            running.set(true)
+            spark.sparkContext.setJobGroup("graft-repl", stmt.take(80),
+              interruptOnCancel = true)
+            try runStatements(stmt)
             catch { case e: Exception => println(s"error: ${e.getMessage}") }
+            finally { spark.sparkContext.clearJobGroup(); running.set(false) }
+            false
           }
+        }
+
+        if (System.console() != null) jlineLoop(eng, dispatch)
+        else {
+          // non-tty (piped/scripted): same buffering semantics, plain IO
+          val in = new BufferedReader(new InputStreamReader(System.in))
+          processLines(Iterator.continually {
+            print("> "); Console.flush(); in.readLine()
+          }.takeWhile(_ != null), dispatch)
         }
     }
     spark.stop()
+  }
+
+  /** Interactive terminal loop: JLine line editing + history, tab
+    * completion from [[completionWords]], and multi-line statements via
+    * a parser that reports the line incomplete until [[isComplete]]
+    * (the reference's rustyline Validator, `src/main.rs:318-331`).
+    * Ctrl-C at the prompt exits (reference: not-running → exit); Ctrl-C
+    * during execution hits the signal handler installed in [[main]]. */
+  private def jlineLoop(eng: SqlEngine, dispatch: String => Boolean): Unit = {
+    import org.jline.reader.{Candidate, EOFError, EndOfFileException, LineReader,
+      LineReaderBuilder, ParsedLine, Parser, UserInterruptException}
+    import org.jline.reader.impl.DefaultParser
+    import org.jline.terminal.TerminalBuilder
+
+    val terminal = TerminalBuilder.builder().system(true).build()
+    val parser = new DefaultParser {
+      override def parse(line: String, cursor: Int,
+          context: Parser.ParseContext): ParsedLine = {
+        if (context == Parser.ParseContext.ACCEPT_LINE && !isComplete(line))
+          throw new EOFError(-1, cursor, "missing statement terminator ';'")
+        super.parse(line, cursor, context)
+      }
+    }
+    val reader = LineReaderBuilder.builder()
+      .terminal(terminal)
+      .parser(parser)
+      .completer((_: LineReader, _: ParsedLine, cands: java.util.List[Candidate]) =>
+        completionWords(eng).foreach(w => cands.add(new Candidate(w))))
+      .variable(LineReader.SECONDARY_PROMPT_PATTERN, "... ")
+      .build()
+    var done = false
+    while (!done) {
+      try {
+        val stmt = reader.readLine("> ")
+        if (stmt != null && stmt.trim.nonEmpty) done = dispatch(stmt.trim)
+      } catch {
+        case _: UserInterruptException => done = true // idle Ctrl-C = exit
+        case _: EndOfFileException => done = true
+      }
+    }
   }
 }
