@@ -40,14 +40,19 @@ import org.apache.spark.sql.SparkSession
   * Set SPARK_GRAFT_SCALING=off to skip phases 2-3 (CI smoke).
   */
 object Bench {
-  // 16M rows: the ~4-5s per-run fixed cost (stage scheduling, AQE
-  // planning, codegen, GC) is <3% of the 4N-level run, so it no longer
-  // caps the measurable pair efficiency (at 8M it capped ~0.75).
-  private val ScalingRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "16000000").toLong
+  // 8M rows: large enough that the ~4-5s per-run fixed cost (stage
+  // scheduling, AQE planning, codegen) stays under ~6% of the 4N level,
+  // small enough that the ~16 GB routed payload stays comfortable in
+  // the fixed 12g heap. 16M was measured and REJECTED: the 16-core
+  // level becomes GC/heap-bound (93-154 s vs the ~56 s a linear scale
+  // of clean 8M runs predicts, at <2% steal), contaminating the pair
+  // ratio with memory effects that say nothing about engine scaling —
+  // a real cluster sizes executor heaps to the partition load instead.
+  private val ScalingRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "8000000").toLong
   // ANN rows sized the same way for the probe+top-k path (measured knee
   // at 24-48M after the round-3 probe rewrite; see Similarity.lshTopK).
   private val AnnRows = sys.env.getOrElse("SPARK_GRAFT_ANN_ROWS", "48000000").toLong
-  private val MaxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "6").toInt
+  private val MaxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "8").toInt
   private val TargetCleanPairs = sys.env.getOrElse("SPARK_GRAFT_CLEAN_PAIRS", "3").toInt
   private val Reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
   private val DeadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "900").toDouble
@@ -116,9 +121,9 @@ object Bench {
     val spark = session(cores)
     spark.sparkContext.setLogLevel("WARN")
     try {
-      // JIT/codegen warm: 2M rows is plenty to compile the stage; more
+      // JIT/codegen warm: 1M rows is plenty to compile the stage; more
       // just burns wall-clock budget at the 4-core level
-      BenchRun.pass(spark, mode, math.min(rows / 8, 2000000L), InputParts, ShuffleParts)
+      BenchRun.pass(spark, mode, math.min(rows / 8, 1000000L), InputParts, ShuffleParts)
       val t = BenchRun.pass(spark, mode, rows, InputParts, ShuffleParts)
       // shuffle files on tmpfs are deleted only when the ShuffleDependency
       // is GC'd — force it so the next run doesn't fight tmpfs reclaim
@@ -284,15 +289,22 @@ object Bench {
         f""""seq_per_sec_n":${(rows / tN).toLong}%d,"seq_per_sec_4n":${(rows / t4N).toLong}%d,""" +
         f""""scaling_efficiency":$eff%.3f}"""
     }
+    // ONE attempt per level per pair (no within-level retries): on a
+    // bursty host, budget spent on MORE whole pairs beats re-measuring
+    // one level until its bracket comes back clean — every pair is an
+    // honest drift-cancelling sample, cleanliness is marked per pair,
+    // and the median is taken over the clean subset. (The round-3 first
+    // cut retried each level up to 3x and burned the whole phase budget
+    // producing a single dirty pair.)
     var lastPairCost = 0.0
     var continue = true
     while (continue && pairs.length < maxPairs
         && pairs.count(_.clean) < targetClean
         && (lastPairCost == 0.0 || remaining() - reserve > lastPairCost * 1.15)) {
       val pairT0 = elapsed()
-      val (tN, cN) = cleanRun(coresN, maxTries = 3, reserve)(
+      val (tN, cN) = cleanRun(coresN, maxTries = 1, reserve)(
         () => measuredRun(mode, coresN, rows))
-      val (t4, c4) = cleanRun(cores4N, maxTries = 3, reserve)(
+      val (t4, c4) = cleanRun(cores4N, maxTries = 1, reserve)(
         () => measuredRun(mode, cores4N, rows))
       pairs += Pair(tN, cN, t4, c4)
       lastPairCost = elapsed() - pairT0

@@ -96,8 +96,10 @@ object TextAnalysis {
 
   /** Polynomial rolling hash (Rabin-Karp style) over words — order
     * sensitive, for exact-ish content identity. 31-base mod 2^31 in
-    * integer arithmetic (cross-engine safe). */
+    * integer arithmetic (cross-engine safe). One codegen'd byte scan
+    * ([[graft.functions.RollingHash]]); the `aggregate(split(...))` HOF
+    * it replaces — bit-identically — was the last interpreted lambda in
+    * the text-analysis surface. */
   def rollingHashFingerprint(text: Column): Column =
-    aggregate(split(lower(text), "\\s+"), lit(0L),
-      (acc, w) => (acc * 31L + crc32(w.cast("binary")) % 1000003L) % 2147483648L)
+    graft.functions.RollingHash(text)
 }

@@ -89,6 +89,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("RollingHash matches the aggregate() HOF formulation it replaced") {
+    val inputs = tricky ++ Seq("a b", " leading", "trailing ", "x  y\tz", "same same")
+    val df = inputs.toDF("text")
+    val hof = aggregate(split(lower(col("text")), "\\s+"), lit(0L),
+      (acc, w) => (acc * 31L + crc32(w.cast("binary")) % 1000003L) % 2147483648L)
+    val both = df.select(graft.functions.RollingHash(col("text")).as("fast"), hof.as("slow"))
+    assert(both.filter(not(col("fast") <=> col("slow"))).count() === 0)
+    // order sensitivity: permuted words hash differently
+    val Seq(ab, ba) = Seq("alpha beta", "beta alpha").toDF("text")
+      .select(graft.functions.RollingHash(col("text"))).as[Long].collect().toSeq
+    assert(ab !== ba)
+  }
+
   test("langId plan contains no interpreted HOF nodes") {
     val df = Seq("the and of").toDF("text")
       .select(TextAnalysis.langId(col("text")).as("pred"))
