@@ -26,8 +26,11 @@ import org.apache.spark.sql.types._
   *
   * NULL if any part is NULL or out of range (year 1-9999, month 1-12,
   * day 1-days_in_month, hour 0-23, minute 0-59, sec_micros in
-  * [0, 60_000_000) — the same rows java.time would reject and
-  * `try_make_timestamp` would null). Values are micros since epoch, UTC.
+  * [0, 60_000_000)). One divergence from the Spark builtin, asserted in
+  * ComposeTimestampSpec: second == 60 is NULL here — like the
+  * reference's chrono `ymd_hms` — where `make_timestamp` treats it as a
+  * leap second and rolls to the next minute. Values are micros since
+  * epoch, UTC.
   */
 case class ComposeTimestamp(year: Expression, month: Expression,
     day: Expression, hour: Expression, minute: Expression,

@@ -118,6 +118,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("minhash_signature"), s"codegen signature missing:\n$plan")
   }
 
+  test("ANN re-rank is a k-bounded partial aggregate, not a per-query window sort") {
+    // A row_number window shuffles EVERY scored row into one partition
+    // per query and sorts the whole group in one task — for brute force
+    // that is the entire corpus; TopKByScore keeps the shuffle at
+    // partitions x queries x k via map-side partial combine.
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    Seq(
+      "brute" -> Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5),
+      "lsh" -> Similarity.lshTopK(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5)
+    ).foreach { case (name, df) =>
+      val plan = executedPlan(df)
+      assert(!plan.contains("Window"), s"$name re-rank fell back to a window:\n$plan")
+      assert(plan.contains("top_k_by_score") && plan.contains("ObjectHashAggregate"),
+        s"$name top-k aggregate missing:\n$plan")
+      assert(plan.contains("partial_top_k_by_score") || plan.contains("partial top_k"),
+        s"$name has no map-side partial top-k:\n$plan")
+    }
+  }
+
   test("salted route repartitions on (sink, salt) - skew never lands one sink on one task") {
     val seqs = TokenSequences.synthetic(spark, 1000L, 4)
     val routed = LogPipeline.parseEnrichRoute(spark, seqs, partitions = 8)
