@@ -66,8 +66,21 @@ object Similarity {
     * keep their previous centroid). Only `nlist × dims` doubles ever
     * reach the driver — centroid training collects METADATA, not data. */
   def trainCentroids(corpus: DataFrame, id: Column, emb: Column,
-      nlist: Int, lloydIters: Int = 1): Array[Array[Double]] = {
+      nlist: Int, lloydIters: Int = 1,
+      trainFraction: Double = 1.0): Array[Array[Double]] = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0,1], got $trainFraction")
     val asDouble = emb.cast(ArrayType(DoubleType))
+    // Lloyd refinement trains on a deterministic hash-sample of the
+    // corpus when trainFraction < 1: k-means quality converges with
+    // sample size long before corpus size (classic coreset argument),
+    // so at 100 TB the refinement pass reads a fixed-size slice instead
+    // of shuffling rows x dims scalars for the whole table. The hash
+    // sample is stable across runs and cluster sizes (no RNG).
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(hash(id), lit(1000000)) < (trainFraction * 1000000).toInt)
     var cents: Array[Array[Double]] = corpus
       .select(asDouble.as("e"), id.as("i"))
       .orderBy(md5(col("i").cast(StringType)), col("i"))
@@ -75,7 +88,7 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < lloydIters) {
-      val assigned = corpus.select(asDouble.as("e"))
+      val assigned = trainSet.select(asDouble.as("e"))
         .withColumn("cl",
           element_at(graft.functions.NearestCentroids(col("e"), cents, 1), 1))
       val means = assigned
@@ -106,8 +119,10 @@ object Similarity {
     * with a broadcast right side the corpus is scanned in place). */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusEmb: Column,
       queries: DataFrame, queryId: Column, queryEmb: Column,
-      k: Int, nlist: Int = 64, nprobe: Int = 8, lloydIters: Int = 1): DataFrame = {
-    val cents = trainCentroids(corpus, corpusId, corpusEmb, nlist, lloydIters)
+      k: Int, nlist: Int = 64, nprobe: Int = 8, lloydIters: Int = 1,
+      trainFraction: Double = 1.0): DataFrame = {
+    val cents = trainCentroids(corpus, corpusId, corpusEmb, nlist, lloydIters,
+      trainFraction)
     import graft.functions.NearestCentroids
     val c = corpus.select(corpusId.as("nn_id"), corpusEmb.as("c_emb"),
       element_at(NearestCentroids(corpusEmb, cents, 1), 1).as("cl"))

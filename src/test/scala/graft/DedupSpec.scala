@@ -156,6 +156,25 @@ class DedupSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 = $mean")
   }
 
+  test("TopKByScore: generic (string) ids survive partial/merge serialization; ranking exact") {
+    import graft.functions.TopKByScore
+    // 40 partitions force map-side partials + a real merge+deserialize
+    // path; string ids exercise the generic UnsafeProjection buffer codec
+    val rows = (0 until 2000).map(i => (s"g${i % 3}", f"id$i%04d", (i * 37 % 1999) / 1000.0))
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score").repartition(40)
+    val got = df.groupBy(col("g"))
+      .agg(TopKByScore(col("score"), col("id"), 4).as("top"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(m => (m.getString(0), m.getDouble(1))))
+      .toMap
+    // oracle: plain Scala sort by (score desc, id asc)
+    rows.groupBy(_._1).foreach { case (g, gr) =>
+      val want = gr.map(t => (t._2, t._3)).sortBy { case (id, s) => (-s, id) }.take(4)
+      assert(got(g) === want, s"group $g")
+    }
+  }
+
   test("dropNearDuplicates keeps the lowest id of each planted pair") {
     val pairs = Dedup.minhashLsh(corpus, col("id"), col("text"),
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
@@ -184,6 +203,16 @@ class DedupSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, s"mean recall@5 = $mean")
+    // sampled-Lloyd training (the 100 TB path: refinement reads a
+    // hash-sample, not the corpus) must not collapse recall
+    val sampled = collectNeighbors(Similarity.ivfTopK(
+      embs, col("id"), col("emb"), queries, col("id"), col("emb"),
+      k = 5, nlist = 16, nprobe = 6, lloydIters = 1, trainFraction = 0.5))
+    val sRecalls = exact.map { case (q, nn) =>
+      sampled.get(q).map(a => (a & nn).size.toDouble / nn.size).getOrElse(0.0)
+    }
+    val sMean = sRecalls.sum / sRecalls.size
+    assert(sMean >= 0.6, s"sampled-Lloyd mean recall@5 = $sMean")
   }
 
   test("NearestCentroids: codegen matches eval, ordered by cosine, deterministic") {
