@@ -175,6 +175,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("TopKByScore survives ObjectHashAggregate's sort-based fallback (>128 groups)") {
+    import graft.functions.TopKByScore
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold defaults
+    // to 128 distinct groups per partition: past it the operator switches
+    // to sort-based aggregation, driving serialize/merge on every buffer
+    val n = 300
+    val rows = (0 until n * 20).map(i => (i % n, i.toLong, ((i * 131) % 997) / 100.0))
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score").repartition(7)
+    val got = df.groupBy(col("g"))
+      .agg(TopKByScore(col("score"), col("id"), 3).as("top"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(m => (m.getLong(0), m.getDouble(1))))
+      .toMap
+    assert(got.size === n)
+    rows.groupBy(_._1).foreach { case (g, gr) =>
+      val want = gr.map(t => (t._2, t._3)).sortBy { case (id, s) => (-s, id) }.take(3)
+      assert(got(g) === want, s"group $g")
+    }
+  }
+
   test("dropNearDuplicates keeps the lowest id of each planted pair") {
     val pairs = Dedup.minhashLsh(corpus, col("id"), col("text"),
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
