@@ -382,21 +382,23 @@ object Bench {
       HostProbe.warm(coresN); HostProbe.warm(coresN * 4)
 
       // phase 2: pipeline scaling. Reserve enough of the budget for one
-      // ANN pair (~180s at the default sizes) so phase 3 still lands.
-      val annReserve = if (remaining() > 400) 200.0 else 0.0
+      // ANN pair at the default sizes so phase 3 still lands.
+      val annPairEstimate = 200.0
+      val annReserve = if (remaining() > 2 * annPairEstimate) annPairEstimate else 0.0
       var scalingJson = ""
       val pipelineFinal = pairLoop("pipeline", ScalingRows, coresN, MaxPairs,
         TargetCleanPairs, reserve = annReserve,
         emit = j => { scalingJson = s""","pipeline_scaling":$j"""; emitLine(scalingJson) })
-      scalingJson = s""","pipeline_scaling":$pipelineFinal"""
-      emitLine(scalingJson)
+      scalingJson = s""","pipeline_scaling":$pipelineFinal""" // last pair already emitted
 
-      // phase 3: ANN scaling, budget-gated (2 clean pairs suffice).
-      if (remaining() > 150) {
-        val annFinal = pairLoop("ann", AnnRows, coresN, maxPairs = 3,
+      // phase 3: ANN scaling, budget-gated (2 clean pairs suffice); the
+      // gate matches the per-pair cost estimate — pairLoop's first pair
+      // runs unconditionally, so starting with less would overshoot the
+      // deadline by a full pair.
+      if (remaining() > annPairEstimate) {
+        pairLoop("ann", AnnRows, coresN, maxPairs = 3,
           targetClean = 2, reserve = 0.0,
           emit = j => emitLine(scalingJson + s""","ann_scaling":$j"""))
-        emitLine(scalingJson + s""","ann_scaling":$annFinal""")
       }
     }
   }

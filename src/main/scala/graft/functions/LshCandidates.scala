@@ -166,12 +166,17 @@ object LshCandidates {
         val q = (w << 6) + java.lang.Long.numberOfTrailingZeros(bits)
         bits &= bits - 1
         val qn = idx.qnorm(q)
-        var dot = 0.0; var d = 0
-        while (d < dims) { dot += v(d) * qn(d); d += 1 }
-        val row = new GenericInternalRow(2)
-        row.setInt(0, q)
-        row.setDouble(1, dot / norm)
-        out += row
+        // dimension mismatch => cosine undefined: skip the match (the
+        // CosineSim convention — NULL on length mismatch — means such a
+        // candidate could never rank anyway)
+        if (qn.length == dims) {
+          var dot = 0.0; var d = 0
+          while (d < dims) { dot += v(d) * qn(d); d += 1 }
+          val row = new GenericInternalRow(2)
+          row.setInt(0, q)
+          row.setDouble(1, dot / norm)
+          out += row
+        }
       }
       w += 1
     }

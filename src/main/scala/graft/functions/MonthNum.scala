@@ -47,6 +47,22 @@ object MonthNum {
   /** 1-12, or 0 for "not a month name". Called from generated code. */
   def compute(s: UTF8String): Int = {
     if (s.numBytes < 3) return 0
+    // Non-ASCII prefix: route through full Unicode lowercasing first, so
+    // exotic uppercase forms that lowercase INTO ascii (U+017F long s ->
+    // 's', U+212A Kelvin sign -> 'k') keep parity with the
+    // lower(substring) chain this replaces
+    if ((s.getByte(0) & 0x80) != 0 || (s.getByte(1) & 0x80) != 0
+        || (s.getByte(2) & 0x80) != 0) {
+      val low = s.toLowerCase
+      return if (low.numBytes >= 3 && (low.getByte(0) & 0x80) == 0
+          && (low.getByte(1) & 0x80) == 0 && (low.getByte(2) & 0x80) == 0)
+        computeAscii(low)
+      else 0
+    }
+    computeAscii(s)
+  }
+
+  private def computeAscii(s: UTF8String): Int = {
     // ASCII lowercase; non-letter bytes simply fail every arm
     val key = ((s.getByte(0) | 0x20) << 16) | ((s.getByte(1) | 0x20) << 8) |
       (s.getByte(2) | 0x20)

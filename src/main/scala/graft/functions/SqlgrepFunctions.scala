@@ -59,12 +59,17 @@ object SqlgrepFunctions {
   def parseInterval(s: Column): Column = {
     val p = split(s, ":")
     val whole = "^[+-]?\\d+$"
-    when(size(p) === 3
-        && p.getItem(0).rlike(whole) && p.getItem(1).rlike(whole)
-        && p.getItem(2).rlike(whole),
-      (p.getItem(0).cast(LongType) * 3600000000L)
-        + (p.getItem(1).cast(LongType) * 60000000L)
-        + (p.getItem(2).cast(LongType) * 1000000L))
+    // Magnitude gate: 2e9 per part keeps the worst-case micros sum
+    // (2e9*3.6e9 + 2e9*6e7 + 2e9*1e6 ≈ 7.3e18) inside i64 — without it
+    // a part like 2562048 hours passes the whole-number check but the
+    // multiplication wraps silently in non-ANSI Spark (the reference's
+    // chrono construction fails to build such a Duration instead).
+    def part(i: Int): Column = {
+      val v = p.getItem(i).cast(LongType)
+      when(p.getItem(i).rlike(whole) && abs(v) <= 2000000000L, v)
+    }
+    when(size(p) === 3,
+      part(0) * 3600000000L + part(1) * 60000000L + part(2) * 1000000L)
   }
 
   /** `EXTRACT(part FROM ts)` — reference parts: epoch (float secs),

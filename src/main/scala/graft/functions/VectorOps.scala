@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
@@ -205,83 +204,19 @@ object NearestCentroids {
   }
 }
 
-/** Random-hyperplane LSH signature: `planes` sign bits packed into a
-  * long. The ±1 hyperplane components are a deterministic function of
-  * (table, plane, dim) — splitmix64-style mixing — materialized ONCE per
-  * (table, planes, dims) per JVM into a primitive sign matrix, so the
-  * per-row cost is a pure multiply-add loop (the previous formulation
-  * re-evaluated tables × planes × dims interpreted HOF lambdas per row).
-  * NULL elements contribute 0. */
-case class LshSignature(child: Expression, table: Int, planes: Int)
-    extends UnaryExpression {
-  require(planes > 0 && planes <= 62, s"planes must be in [1,62], got $planes")
-  override def dataType: DataType = LongType
-  override def prettyName: String = "lsh_signature"
-
-  private lazy val isF = VectorOps.isFloatArray(child)
-
-  override def nullSafeEval(a: Any): Any =
-    LshSignature.compute(a.asInstanceOf[ArrayData], isF, table, planes)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.LshSignature.compute($a, $isF, $table, $planes)")
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
+/** Deterministic random-hyperplane sign material for LSH signatures —
+  * splitmix64-style mix of (table, plane, dim), parity bit. The
+  * expression that consumed this per row lives on as
+  * [[LshCandidates]]'s map-side probe (the signature-column form was
+  * superseded by it and removed); [[LshQueryIndex.build]] materializes
+  * the [table][plane][dim] matrices once per index. */
 object LshSignature {
-  import org.apache.spark.sql.graftbridge.Bridge
-
-  def apply(emb: Column, table: Int, planes: Int): Column =
-    Bridge.column(LshSignature(Bridge.expression(emb), table, planes))
-
-  /** Deterministic ±1 for (table, plane, dim): splitmix64-ish mix, parity
-    * bit. Public so specs can cross-check the sign material. */
+  /** Deterministic ±1 for (table, plane, dim). Public so specs can
+    * cross-check the sign material. */
   def sign(table: Int, plane: Int, dim: Int): Double = {
     var h = table * 0x9E3779B97F4A7C15L ^ plane * 0xC2B2AE3D27D4EB4FL ^
       dim * 0x165667B19E3779F9L
     h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
     if ((h & 1L) == 0L) 1.0 else -1.0
-  }
-
-  // (table, planes, dims) -> [plane][dim] sign matrix, built once per JVM.
-  private val signCache = new ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
-
-  private[functions] def signs(table: Int, planes: Int, dims: Int): Array[Array[Double]] = {
-    // plain get first: computeIfAbsent takes a synchronized slow path
-    // whenever the key is not the first node of its bin EVEN WHEN
-    // PRESENT — with per-row callers at wide parallelism that lock
-    // serializes every task thread (measured: a pure map stage pinned
-    // at ~5 busy cores of 16)
-    val key = (table, planes, dims)
-    val hit = signCache.get(key)
-    if (hit != null) hit
-    else signCache.computeIfAbsent(key, { case (t, p, d) =>
-      Array.tabulate(p, d)((pl, di) => sign(t, pl, di))
-    })
-  }
-
-  def compute(a: ArrayData, aF: Boolean, table: Int, planes: Int): Long = {
-    val n = a.numElements()
-    val m = signs(table, planes, n)
-    var sig = 0L
-    var p = 0
-    while (p < planes) {
-      val row = m(p)
-      var proj = 0.0
-      var i = 0
-      while (i < n) {
-        if (!a.isNullAt(i)) {
-          val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
-          proj += x * row(i)
-        }
-        i += 1
-      }
-      if (proj >= 0) sig |= (1L << p)
-      p += 1
-    }
-    sig
   }
 }

@@ -135,14 +135,6 @@ object Similarity {
     rankTopK(candidates, k)
   }
 
-  /** Random-hyperplane signature: `planes` sign bits packed into a long —
-    * one codegen'd expression ([[graft.functions.LshSignature]]) whose
-    * ±1 plane components are materialized once per JVM; the previous
-    * formulation evaluated tables × planes × dims interpreted HOF
-    * lambdas PER ROW, which dominates everything at scale. */
-  def lshSignature(emb: Column, table: Int, planes: Int): Column =
-    graft.functions.LshSignature(emb, table, planes)
-
   /** LSH-bucketed ANN: `tables` independent hash tables of `planes`
     * hyperplanes each; a corpus row is a candidate for a query iff they
     * share a bucket in at least one table. Candidates deduped, then

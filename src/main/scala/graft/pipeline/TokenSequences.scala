@@ -72,14 +72,15 @@ object TokenSequences {
     // doc_ids duplicate) — so fail loudly per offending row instead.
     // One codegen'd branch on the tiny pre-expansion key projection.
     val seqId = when(
-      col("l_linenumber") >= 8L || col("l_linenumber") < 0L
+      col("l_orderkey") >= 268435456L || col("l_orderkey") < 0L // 2^28: okey*2^35 must fit i64
+        || col("l_linenumber") >= 8L || col("l_linenumber") < 0L
         || col("l_partkey") >= 262144L || col("l_partkey") < 0L
         || col("l_suppkey") >= 16384L || col("l_suppkey") < 0L,
       raise_error(format_string(
         "TokenSequences.fromLineitem: seq_id key bounds exceeded " +
-          "(l_linenumber=%s l_partkey=%s l_suppkey=%s) — arithmetic id no " +
-          "longer injective; widen the bit layout",
-        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))))
+          "(l_orderkey=%s l_linenumber=%s l_partkey=%s l_suppkey=%s) — " +
+          "arithmetic id no longer injective; widen the bit layout",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))))
       .otherwise(rawSeqId)
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(seqId.as("seq_id"))
