@@ -273,14 +273,21 @@ object Repl {
           }
         }
 
-        if (System.console() != null) jlineLoop(eng, dispatch)
-        else {
+        def plainLoop(): Unit = {
           // non-tty (piped/scripted): same buffering semantics, plain IO
           val in = new BufferedReader(new InputStreamReader(System.in))
           processLines(Iterator.continually {
             print("> "); Console.flush(); in.readLine()
           }.takeWhile(_ != null), dispatch)
         }
+        if (System.console() != null) {
+          // a restricted terminal may refuse JLine's raw mode — degrade
+          // to the plain loop rather than dying before the first prompt
+          try jlineLoop(eng, dispatch)
+          catch { case _: UnsatisfiedLinkError | _: java.io.IOException | _: IllegalStateException =>
+            plainLoop()
+          }
+        } else plainLoop()
     }
     spark.stop()
   }
