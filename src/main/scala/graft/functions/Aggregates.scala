@@ -31,11 +31,14 @@ object Aggregates {
     * (`src/execution/aggregate_execution.rs:225-247`) — under distributed
     * shuffle "arrival order" is undefined, so we pin sorted order. */
   def stringAggSorted(c: Column, delim: String): Column =
-    array_join(array_sort(collect_list(c)), delim)
+    array_join(sort_array(collect_list(c)), delim)
 
   /** `ARRAY_AGG(e)` with deterministic (sorted) order; see above
-    * (reference `src/execution/aggregate_execution.rs:210-224`). */
-  def arrayAggSorted(c: Column): Column = array_sort(collect_list(c))
+    * (reference `src/execution/aggregate_execution.rs:210-224`).
+    * sort_array over array_sort in both: collect_list never emits null
+    * elements, so the orders coincide — and array_sort's default
+    * comparator is an interpreted LambdaFunction. */
+  def arrayAggSorted(c: Column): Column = sort_array(collect_list(c))
 
   /** Exact percentile, reference convention: buffer all values, sort
     * ascending, pick index `floor(p * n)` (0-based; clamped to n-1)

@@ -24,7 +24,9 @@ import org.apache.spark.sql.types._
   * Howard Hinnant's calendar notes; same math as java.time) — fully
   * inside whole-stage codegen, no allocation, no exceptions.
   *
-  * NULL if any part is NULL or out of range (year 1-9999, month 1-12,
+  * NULL if any part is NULL or out of range (year 0-9999 — year 0 is a
+  * valid proleptic-Gregorian year to chrono's `from_ymd_opt`, so a
+  * `"0000"` capture composes rather than NULLs; month 1-12,
   * day 1-days_in_month, hour 0-23, minute 0-59, sec_micros in
   * [0, 60_000_000)). One divergence from the Spark builtin, asserted in
   * ComposeTimestampSpec: second == 60 is NULL here — like the
@@ -83,7 +85,7 @@ object ComposeTimestamp {
       Bridge.expression(d), Bridge.expression(h), Bridge.expression(mi),
       Bridge.expression(secMicros)))
 
-  /** Sentinel for invalid parts: far outside the year 1-9999 range this
+  /** Sentinel for invalid parts: far outside the year 0-9999 range this
     * expression can produce, so it can never collide with a real value. */
   final val Invalid: Long = Long.MinValue
 
@@ -97,7 +99,7 @@ object ComposeTimestamp {
   /** Micros since epoch (UTC), or [[Invalid]] when out of range.
     * Called from both interpreted eval and generated code. */
   def micros(y: Long, mo: Long, d: Long, h: Long, mi: Long, secU: Long): Long = {
-    if (y < 1 || y > 9999 || mo < 1 || mo > 12 || d < 1 || d > daysInMonth(y, mo)
+    if (y < 0 || y > 9999 || mo < 1 || mo > 12 || d < 1 || d > daysInMonth(y, mo)
         || h < 0 || h > 23 || mi < 0 || mi > 59
         || secU < 0 || secU >= 60000000L) return Invalid
     // days-from-civil: epoch day of y-mo-d in the proleptic Gregorian

@@ -141,6 +141,10 @@ object LshCandidates {
       }
       i += 1
     }
+    // zero-norm vector: cosine undefined for every candidate (the
+    // CosineSim convention — NULL — means none could rank); emit nothing
+    // rather than NaN scores, which doubles order NaN-greatest
+    if (norm2 == 0.0) return Empty
     var bitmap: Array[Long] = null // lazily allocated: most rows match nothing
     var t = 0
     while (t < idx.tables) {

@@ -6,10 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Month number (1-12) from an English month-name prefix — `"Jun"`,
-  * `"june"`, `"JUL"` → 6, 7 — NULL when the first three characters are
-  * not a month name (reference `src/data_model.rs:280-296`: names are
-  * matched by their first three letters, case-insensitive).
+/** Month number (1-12) from an English month-name token — the WHOLE
+  * string, lowercased, matched against the reference's exact set
+  * (`src/data_model.rs:281-295`): the twelve 3-letter names plus the
+  * long forms `june`, `july`, `sept`. Anything else — including longer
+  * names like `"January"` — is NULL, exactly as the reference returns
+  * `Value::Null` on its catch-all arm. (An earlier cut matched by
+  * 3-byte prefix, which wrongly accepted `"Janx"`; ADVICE round 3.)
   *
   * Replaces a 12-arm nested `CASE WHEN lower(substring(m,1,3)) = 'jan'`
   * chain whose codegen re-inlined the substring+lowercase+compare
@@ -44,29 +47,38 @@ object MonthNum {
 
   def apply(m: Column): Column = Bridge.column(MonthNum(Bridge.expression(m)))
 
-  /** 1-12, or 0 for "not a month name". Called from generated code. */
+  /** 1-12, or 0 for "not a month-name token". Called from generated
+    * code. The valid tokens are 3 or 4 bytes long in ASCII. */
   def compute(s: UTF8String): Int = {
-    if (s.numBytes < 3) return 0
-    // Non-ASCII prefix: route through full Unicode lowercasing first, so
-    // exotic uppercase forms that lowercase INTO ascii (U+017F long s ->
-    // 's', U+212A Kelvin sign -> 'k') keep parity with the
-    // lower(substring) chain this replaces
-    if ((s.getByte(0) & 0x80) != 0 || (s.getByte(1) & 0x80) != 0
-        || (s.getByte(2) & 0x80) != 0) {
-      val low = s.toLowerCase
-      return if (low.numBytes >= 3 && (low.getByte(0) & 0x80) == 0
-          && (low.getByte(1) & 0x80) == 0 && (low.getByte(2) & 0x80) == 0)
-        computeAscii(low)
-      else 0
+    val n = s.numBytes
+    if (n < 3) return 0
+    // Non-ASCII byte anywhere: route through full Unicode lowercasing
+    // first, so exotic uppercase forms that lowercase INTO ascii
+    // (U+017F long s -> 's', U+212A Kelvin sign -> 'k') keep parity
+    // with the reference's `value.to_lowercase()`
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) return computeLowered(s.toLowerCase)
+      i += 1
     }
     computeAscii(s)
+  }
+
+  private def computeLowered(low: UTF8String): Int = {
+    var i = 0
+    val n = low.numBytes
+    while (i < n) {
+      if ((low.getByte(i) & 0x80) != 0) return 0
+      i += 1
+    }
+    computeAscii(low)
   }
 
   private def computeAscii(s: UTF8String): Int = {
     // ASCII lowercase; non-letter bytes simply fail every arm
     val key = ((s.getByte(0) | 0x20) << 16) | ((s.getByte(1) | 0x20) << 8) |
       (s.getByte(2) | 0x20)
-    key match {
+    if (s.numBytes == 3) key match {
       case 0x6a616e => 1  // jan
       case 0x666562 => 2  // feb
       case 0x6d6172 => 3  // mar
@@ -80,6 +92,14 @@ object MonthNum {
       case 0x6e6f76 => 11 // nov
       case 0x646563 => 12 // dec
       case _ => 0
-    }
+    } else if (s.numBytes == 4) {
+      val key4 = (key << 8) | (s.getByte(3) | 0x20)
+      key4 match {
+        case 0x6a756e65 => 6 // june
+        case 0x6a756c79 => 7 // july
+        case 0x73657074 => 9 // sept
+        case _ => 0
+      }
+    } else 0
   }
 }

@@ -26,8 +26,11 @@ object SqlgrepFunctions {
     NullSemantics.boolOf(s.rlike(pattern))
 
   /** `array_unique(a)` — dedupe AND sort (BTreeSet semantics,
-    * reference `src/execution/expression_execution.rs:642-645`). */
-  def arrayUnique(a: Column): Column = array_sort(array_distinct(a))
+    * reference `src/execution/expression_execution.rs:642-645`).
+    * sort_array, not array_sort: no interpreted comparator lambda, and
+    * its nulls-FIRST order matches a Rust BTreeSet of `Value` (Null is
+    * the first enum variant) where array_sort's nulls-last would not. */
+  def arrayUnique(a: Column): Column = sort_array(array_distinct(a))
 
   /** 1-based array access, NULL out of range
     * (reference `src/execution/expression_execution.rs:516-532`;

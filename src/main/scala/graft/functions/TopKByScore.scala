@@ -30,6 +30,16 @@ import org.apache.spark.sql.types._
   * score keep the SMALLEST id — identical to
   * `ORDER BY score DESC, id ASC` row_number ranking (doubles compared
   * like Spark's sort: NaN greatest).
+  *
+  * Documented divergence from the row_number window this replaced: a
+  * window ranks NULL-score rows LAST but still emits them, so a group
+  * with fewer than k finite-score candidates could pad its top-k with
+  * NULL-cosine rows (reachable only via degenerate / dim-mismatched
+  * embeddings, where CosineSim yields NULL); this aggregate drops them,
+  * returning fewer than k rows instead. Padding a ranking with
+  * undefined similarities was never meaningful output, and the gate
+  * corpora contain no such embeddings (verified: `q_ann_bruteforce`
+  * row-exact against the DuckDB oracle).
   */
 case class TopKByScore(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

@@ -75,8 +75,9 @@ object EmbedGen {
 /** Cosine similarity of two vectors in double precision, bit-identical
   * to the previous `aggregate(zip_with(a, b, *), 0.0, +)` formulation
   * (same element order, same double accumulation). NULL if either array
-  * is NULL, any element is NULL, or the lengths differ (zip_with
-  * null-pads the shorter array, poisoning the products to NULL). */
+  * is NULL, any element is NULL, the lengths differ (zip_with null-pads
+  * the shorter array, poisoning the products to NULL), or either side
+  * has zero norm (undefined cosine — never NaN). */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -105,8 +106,10 @@ object CosineSim {
   def apply(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
-  /** dot(a,b) / (|a| * |b|); null on null elements or a length mismatch
-    * (zip_with parity — it null-pads the shorter side). */
+  /** dot(a,b) / (|a| * |b|); null on null elements, a length mismatch
+    * (zip_with parity — it null-pads the shorter side), or a zero-norm
+    * side (cosine undefined; 0/0 = NaN would otherwise rank GREATEST in
+    * Spark's double ordering and poison any top-k over the scores). */
   def compute(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
@@ -119,6 +122,7 @@ object CosineSim {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
+    if (na == 0.0 || nb == 0.0) return null
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }

@@ -19,17 +19,20 @@ object Dedup {
 
   /** Exact dedup: keep ONE row per identical value of `on` (lowest
     * `keep` wins, deterministic under shuffle — unlike dropDuplicates,
-    * whose survivor is arbitrary). A single hash-shuffle on the digest
-    * plus a per-partition sort; the previous groupBy + join-back
-    * formulation shuffled the full corpus twice and kept BOTH rows on a
-    * (digest, keep) tie. Ties on `keep` within a digest keep exactly one
-    * row (pick is arbitrary among tied rows — pass a unique `keep` for
-    * full determinism). */
+    * whose survivor is arbitrary). A `min(struct(keep, cols…))` hash
+    * aggregate: partial combine happens MAP-SIDE, so only one candidate
+    * survivor per (partition, digest) is shuffled — immune to hot-digest
+    * skew, where the previous `row_number` window funneled every copy of
+    * a viral boilerplate document into a single task. Ties on `keep`
+    * fall through to the remaining columns in order, so the survivor is
+    * fully deterministic. (Requires orderable column types — no MapType —
+    * the same constraint the ORDER BY in the window formulation had on
+    * `keep` alone, widened to the carried row.) */
   def exact(df: DataFrame, on: Column, keep: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(on.cast(StringType))).orderBy(keep)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns
+    df.groupBy(md5(on.cast(StringType)).as("__digest"))
+      .agg(min(struct(keep.as("__graft_keep") +: cols.map(col): _*)).as("__row"))
+      .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Exact-duplicate *groups*: digest -> count, for audit/reporting. */
@@ -213,10 +216,17 @@ object Dedup {
 
   /** Embedding near-duplicates within a blocking key (label / coarse
     * cluster): cosine >= threshold. The blocking key is what keeps this
-    * linear-ish at 100 TB — global all-pairs cosine is never formed. */
+    * linear-ish at 100 TB — global all-pairs cosine is never formed, and
+    * `maxBucket` drops degenerate blocks (one dominant label would
+    * otherwise re-quadratize its block, the same failure mode
+    * [[minhashLsh]]/[[simhashPairs]] cap). Rows in over-cap blocks are
+    * excluded from pairing — route dominant labels through
+    * [[Similarity.lshTopK]] instead, which stays k-bounded per row. */
   def embeddingNearDup(df: DataFrame, id: Column, emb: Column, block: Column,
-      threshold: Double): DataFrame = {
-    val e = df.select(id.as("id"), block.as("blk"), emb.as("emb"))
+      threshold: Double, maxBucket: Int = 1 << 20): DataFrame = {
+    val e = capBuckets(
+      df.select(id.as("id"), block.as("blk"), emb.as("emb")),
+      Seq("blk"), maxBucket)
     val l = e.as("l"); val r = e.as("r")
     l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
       .withColumn("cos", cosine(col("l.emb"), col("r.emb")))

@@ -161,6 +161,16 @@ object Similarity {
     val q = queries.select(queryId.as("query_id"),
       queryEmb.cast(ArrayType(DoubleType)).as("__qe"))
     val qRows = q.collect() // small side by contract: metadata-scale
+    if (qRows.isEmpty) // no queries -> no matches (empty frame, not a require-crash)
+      return corpus.select(corpusId.as("nn_id")).limit(0).select(
+        lit(null).cast(q.schema.head.dataType).as("query_id"),
+        col("nn_id"), lit(0.0).as("cos"),
+        lit(0).cast(IntegerType).as("rank"))
+    qRows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(1),
+        s"lshTopK: NULL query embedding at row $i (id=${r.get(0)}) — " +
+          "filter null embeddings before querying")
+    }
     val index = LshQueryIndex.build(
       qRows.map(_.getSeq[Double](1).toArray), tables, planes)
     // qidx -> original query id (any type): tiny broadcast mapping

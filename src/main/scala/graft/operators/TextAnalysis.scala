@@ -90,9 +90,13 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Content-normalized fingerprint: md5 of the sorted distinct word
-    * set — robust to word order / duplication, cross-engine replicable. */
+    * set — robust to word order / duplication, cross-engine replicable.
+    * sort_array, not array_sort: identical on null-free input (split
+    * never yields null elements) and carries no comparator lambda —
+    * array_sort's default comparator is a LambdaFunction, interpreted
+    * per comparison. */
   def bagOfWordsFingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(split(lower(text), "\\s+"))), " "))
+    md5(array_join(sort_array(array_distinct(split(lower(text), "\\s+"))), " "))
 
   /** Polynomial rolling hash (Rabin-Karp style) over words — order
     * sensitive, for exact-ish content identity. 31-base mod 2^31 in

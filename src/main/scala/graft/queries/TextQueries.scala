@@ -130,9 +130,13 @@ object TextQueries {
       val media = Multimodal.syntheticMedia(s, dir)
       val feats = Multimodal.decodeFeatures(media, Multimodal.FakeDecoder,
         partitions = 8)
+      // fixed 8-bucket histogram: an unrolled element_at sum stays inside
+      // whole-stage codegen, where the aggregate() HOF it replaces is
+      // CodegenFallback (the last interpreted expression in any gate plan)
+      val histSum = (1 to 8).map(i => element_at(col("histogram"), i)).reduce(_ + _)
       feats.toDF()
         .select(col("media_id"), col("kind"), col("n_bytes").cast(LongType).as("n_bytes"),
-          aggregate(col("histogram"), lit(0L), (a, v) => a + v).as("hist_sum"))
+          histSum.as("hist_sum"))
         .orderBy(col("media_id"))
     })
   )

@@ -23,11 +23,14 @@ class ComposeTimestampSpec extends SparkSpec {
     // separately below as a documented divergence from the Spark builtin.
     def sec(): Int = { val s = rnd.nextInt(62) - 1; if (s == 60) 61 else s }
     val rows = (1 to 400).map { _ =>
-      (1 + rnd.nextInt(9999), 1 + rnd.nextInt(14) - 1, 1 + rnd.nextInt(33) - 1,
+      (rnd.nextInt(10000), 1 + rnd.nextInt(14) - 1, 1 + rnd.nextInt(33) - 1,
         rnd.nextInt(26) - 1, rnd.nextInt(62) - 1, sec())
     } ++ Seq(
       (2000, 2, 29, 0, 0, 0), (1900, 2, 29, 0, 0, 0), (2024, 2, 29, 23, 59, 59),
       (2023, 2, 29, 0, 0, 0), (9999, 12, 31, 23, 59, 59), (1, 1, 1, 0, 0, 0),
+      // year 0 is valid proleptic Gregorian (chrono parity; it's a leap
+      // year — divisible by 400) — a "0000" capture must compose
+      (0, 1, 1, 0, 0, 0), (0, 2, 29, 12, 30, 30), (0, 12, 31, 23, 59, 59),
       (2024, 4, 31, 1, 1, 1), (2024, 0, 1, 0, 0, 0), (2024, 13, 1, 0, 0, 0))
     val df = rows.toDF("y", "mo", "d", "h", "mi", "s")
     val both = df.select(
@@ -54,17 +57,23 @@ class ComposeTimestampSpec extends SparkSpec {
     assert(got === 1718608023123456L) // 2024-06-17T07:07:03.123456Z
   }
 
-  test("MonthNum matches the lower(substring) CASE chain it replaced") {
+  test("MonthNum matches the reference's exact token set (whole string, lowercased)") {
+    // reference src/data_model.rs:281-295 — 3-letter names plus long
+    // forms june/july/sept, matched against the WHOLE lowercased capture;
+    // anything else (including full names like "January") is Null
     val names = Seq("jan", "feb", "mar", "apr", "may", "jun",
       "jul", "aug", "sep", "oct", "nov", "dec")
-    val inputs = names.map(_.capitalize) ++ names.map(_.toUpperCase) ++
-      Seq("January", "decEMBER", "ju", "", "0", "13", "Janx", "xan", "mAy ")
-    val df = inputs.toDF("m")
-    val chain = names.zipWithIndex.foldLeft(lit(null).cast(IntegerType)) {
-      case (acc, (n, i)) => when(lower(substring(col("m"), 1, 3)) === n, lit(i + 1)).otherwise(acc)
-    }
-    val diff = df.select(MonthNum(col("m")).as("fast"), chain.as("slow"))
-      .filter(not(col("fast") <=> col("slow"))).count()
+    val hits: Seq[(String, Int)] =
+      names.zipWithIndex.map { case (n, i) => (n, i + 1) } ++
+      names.zipWithIndex.map { case (n, i) => (n.capitalize, i + 1) } ++
+      names.zipWithIndex.map { case (n, i) => (n.toUpperCase, i + 1) } ++
+      Seq(("june", 6), ("July", 7), ("SEPT", 9), ("sEpT", 9))
+    val misses = Seq("January", "decEMBER", "ju", "", "0", "13", "Janx",
+      "xan", "mAy ", " may", "junee", "sep.", "août")
+    val df = (hits.map { case (s, m) => (s, Some(m)) } ++
+      misses.map(s => (s, Option.empty[Int]))).toDF("m", "want")
+    val diff = df.select(MonthNum(col("m")).as("got"), col("want"))
+      .filter(not(col("got") <=> col("want"))).count()
     assert(diff === 0)
   }
 }

@@ -99,14 +99,16 @@ class DedupSpec extends SparkSpec {
     assert(a.map(_.toList).toSeq === b.map(_.toList).toSeq)
   }
 
-  test("cosine is NULL on length mismatch (zip_with null-pad parity)") {
+  test("cosine is NULL on length mismatch (zip_with null-pad parity) and zero norm") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
-      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
       .select(Dedup.cosine(col("a"), col("b")).as("c"))
     val rows = df.collect()
     assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
     assert(rows(1).isNullAt(0), "mismatched lengths must yield NULL, not a prefix dot")
+    assert(rows(2).isNullAt(0), "zero-norm side must yield NULL, not NaN")
   }
 
   test("ngram jaccard within blocks finds planted pairs with exact scores") {
@@ -133,6 +135,65 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1000L, 1001L)))
     assert(!pairs.exists { case (a, b) => a >= 10000 || b >= 10000 },
       "boilerplate bucket leaked candidate pairs")
+  }
+
+  test("embeddingNearDup: degenerate block is capped, healthy blocks unaffected") {
+    // one dominant label would otherwise re-quadratize its block (500
+    // identical vectors = 124,750 pairs); the planted pair in a healthy
+    // block must still surface with its exact cosine.
+    val healthy = Seq(
+      (1L, "a", Array(1.0f, 0.0f, 0.1f)),
+      (2L, "a", Array(1.0f, 0.0f, 0.11f)),
+      (3L, "a", Array(0.0f, 1.0f, 0.0f)))
+    val dominant = (1000 until 1500).map(i => (i.toLong, "z", Array(0.5f, 0.5f, 0.5f)))
+    val df = (healthy ++ dominant).toDF("vid", "lbl", "emb")
+    val pairs = Dedup.embeddingNearDup(df, col("vid"), col("emb"), col("lbl"),
+        threshold = 0.9, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"healthy-block pair lost: $pairs")
+    assert(!pairs.exists { case (a, b) => a >= 1000 || b >= 1000 },
+      "dominant block leaked pairs past the cap")
+    // cap disabled (default 2^20): the dominant block pairs quadratically
+    val uncapped = Dedup.embeddingNearDup(df, col("vid"), col("emb"), col("lbl"),
+      threshold = 0.9).count()
+    assert(uncapped === 1L + 500L * 499L / 2L)
+  }
+
+  test("lshTopK: zero-norm corpus embedding yields no candidates (brute-force parity)") {
+    val embs = spark.range(100).select(col("id"),
+      when(col("id") === 50L,
+          transform(sequence(lit(0), lit(15)), _ => lit(0.0)))
+        .otherwise(transform(sequence(lit(0), lit(15)),
+          d => (pmod(hash(col("id"), d), lit(1000)).cast("double") - 500.0) / 500.0))
+        .as("emb"))
+    val queries = embs.filter(col("id") < 5)
+    val approx = Similarity.lshTopK(embs, col("id"), col("emb"),
+      queries, col("id"), col("emb"), k = 20, tables = 16, planes = 2)
+    val rows = approx.collect()
+    assert(!rows.exists(_.getLong(1) == 50L),
+      "zero-norm corpus row ranked despite undefined cosine")
+    assert(rows.forall(r => !r.getDouble(2).isNaN), "NaN cosine leaked")
+    // brute force agrees: CosineSim is NULL there, TopKByScore drops it
+    val brute = Similarity.bruteForceTopK(embs, col("id"), col("emb"),
+      queries, col("id"), col("emb"), k = 20).collect()
+    assert(!brute.exists(_.getLong(1) == 50L))
+  }
+
+  test("lshTopK: empty query set returns an empty frame; NULL query embedding fails fast") {
+    val embs = spark.range(50).select(col("id"),
+      transform(sequence(lit(0), lit(7)),
+        d => (pmod(hash(col("id"), d), lit(1000)).cast("double") - 500.0) / 500.0).as("emb"))
+    val none = Similarity.lshTopK(embs, col("id"), col("emb"),
+      embs.filter(col("id") < 0), col("id"), col("emb"), k = 5)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("query_id", "nn_id", "cos", "rank"))
+    val withNull = embs.withColumn("emb",
+      when(col("id") === 3L, lit(null)).otherwise(col("emb")))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(embs, col("id"), col("emb"),
+        withNull.filter(col("id") < 5), col("id"), col("emb"), k = 5)
+    }
+    assert(ex.getMessage.contains("NULL query embedding"))
   }
 
   test("LSH ANN achieves >=60% recall@5 vs brute force on random embeddings") {

@@ -112,12 +112,17 @@ class ExtractorSpec extends SparkSpec {
       Seq(ColumnDef("t", ValueType.TimestampT, ColumnSource.TimestampGroups(
         // year, month, day, hour, minute, second
         Seq(g(6), g(1), g(2), g(3), g(4), g(5))))))
+    // reference src/data_model.rs:281-295: the WHOLE lowercased capture
+    // must equal one of the exact tokens (3-letter names + june/july/sept)
+    // — full names like "December" hit the catch-all arm -> Value::Null
     val rows = Extractor.parse(
-      Seq("Jun 17 07:07:00 2005", "dEcEmBeR 1 23:59:59 2020", "Xxx 9 1:2:3 2000")
+      Seq("Jun 17 07:07:00 2005", "dEc 1 23:59:59 2020", "sEpT 2 03:04:05 2021",
+        "December 1 23:59:59 2020", "Xxx 9 1:2:3 2000")
         .toDF("value"), tdef).collect()
-    assert(rows.length === 2) // bad month name -> NULL -> row doesn't match
+    assert(rows.length === 3) // bad month name -> NULL -> row doesn't match
     assert(rows(0).getTimestamp(0).toInstant.toString === "2005-06-17T07:07:00Z")
     assert(rows(1).getTimestamp(0).toInstant.toString === "2020-12-01T23:59:59Z")
+    assert(rows(2).getTimestamp(0).toInstant.toString === "2021-09-02T03:04:05Z")
   }
 
   test("JSON columns: nested paths, CONVERT, array (FIXTURES.md B3)") {

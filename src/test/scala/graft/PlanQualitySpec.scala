@@ -90,6 +90,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"single-partition exchange in: ${offenders.mkString(", ")}")
   }
 
+  test("exact dedup survivor is a partial-combining aggregate, not a window") {
+    // row_number() OVER (PARTITION BY digest) shuffles EVERY copy of a
+    // duplicated digest into one task — a viral boilerplate document at
+    // corpus scale is a single-task straggler. min(struct(keep, cols))
+    // partial-combines map-side: one candidate survivor per (partition,
+    // digest) crosses the wire.
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = executedPlan(Dedup.exact(docs, col("text"), col("doc_id")))
+    assert(!plan.contains("Window"), s"exact dedup fell back to a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"no map-side partial combine in exact-dedup plan:\n$plan")
+  }
+
+  test("no gate plan contains an interpreted higher-order-function node") {
+    // Spark HOFs (transform/aggregate/filter/zip_with/...) are
+    // CodegenFallback — interpreted per element, negative scaling at
+    // wide parallelism. Every one on a measured path was replaced by a
+    // codegen expression; this pins ALL gate plans HOF-free. Catalyst
+    // prints every HOF's lambda as `lambdafunction(...)`, which is the
+    // robust marker (class names never appear in plan strings).
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = executedPlan(fn(spark, dir))
+      if (plan.contains("lambdafunction")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"interpreted HOFs in gate plans: ${offenders.mkString(", ")}")
+  }
+
   test("near-dup candidate generation never plans a cross product") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -113,8 +141,8 @@ class PlanQualitySpec extends SparkSpec {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = executedPlan(Dedup.minhashLsh(docs, col("doc_id"), col("text")))
-    Seq("ArrayTransform", "ArrayAggregate", "ArrayFilter", "ZipWith").foreach(h =>
-      assert(!plan.contains(h), s"interpreted HOF $h in minhashLsh plan:\n$plan"))
+    // HOFs print by prettyName, so the robust marker is their lambda child
+    assert(!plan.contains("lambdafunction"), s"interpreted HOF in minhashLsh plan:\n$plan")
     assert(plan.contains("minhash_signature"), s"codegen signature missing:\n$plan")
   }
 
