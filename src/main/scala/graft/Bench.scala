@@ -15,21 +15,29 @@ import org.apache.spark.sql.SparkSession
   *     speed drifts ~2x over minutes; medians are also reported). A
   *     query that throws is recorded as -1 with its error in
   *     `query_errors` — never a silent garbage duration.
-  *  2. the BASELINE.json scaling protocol — the identical end-to-end
-  *     parse→enrich→route→aggregate job at N and 4N cores over the same
-  *     deterministic input (fixed input partitions=256, fixed shuffle
-  *     partitions=128, so the *work* is identical and only the
-  *     parallelism changes; ≥4x tasks per core at both levels), warm
+  *  2. the N-vs-4N scaling protocol for the LSH ANN path (embedding
+  *     generation + map-side index probe + k-bounded top-k). Runs FIRST
+  *     among the scaling phases — its first pair is unconditional — so
+  *     a contended day can never starve it out of the artifact again
+  *     (round 3: the pipeline loop overran and `ann_scaling` never
+  *     landed despite ≥0.9 measured pairs); later ANN pairs stop once
+  *     the pipeline reserve no longer fits.
+  *  3. the BASELINE.json pipeline scaling protocol — the identical
+  *     end-to-end parse→enrich→route→aggregate job at N and 4N cores
+  *     over the same deterministic input (fixed input partitions=256,
+  *     fixed shuffle partitions=128, so the *work* is identical and only
+  *     the parallelism changes; ≥4x tasks per core at both levels), warm
   *     JVM. Runs are INTERLEAVED in (N, 4N) pairs so host drift cancels
   *     within a pair; the headline `scaling_efficiency` is the MEDIAN of
   *     per-pair efficiencies over CLEAN pairs (probe-bracketed,
   *     steal-metered; raw arrays always reported). The loop stops at
   *     `TargetCleanPairs` clean pairs — quiet-window budget goes into
-  *     fewer, bigger pairs rather than more noisy ones. A superseding
-  *     JSON line is emitted AFTER EVERY PAIR.
-  *  3. the same N-vs-4N protocol for the LSH ANN path (embedding
-  *     generation + map-side index probe + k-bounded top-k), gated on
-  *     remaining budget.
+  *     fewer, bigger pairs rather than more noisy ones.
+  *
+  * After phase 1 and after EVERY scaling pair, TWO superseding lines are
+  * printed: the full artifact, then a compact twin without the per-query
+  * dicts — the last stdout line always fits the driver's tail window
+  * (whose truncation produced `parsed: null` for three straight rounds).
   *
   * WALL-CLOCK BUDGET: `SPARK_GRAFT_DEADLINE_SEC` (default 900 — round 1
   * finished in 1,175 s and passed; round 2's unbudgeted config timed
@@ -56,6 +64,12 @@ object Bench {
   private val TargetCleanPairs = sys.env.getOrElse("SPARK_GRAFT_CLEAN_PAIRS", "3").toInt
   private val Reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
   private val DeadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "900").toDouble
+  // Phase-1 wall budget: past it, remaining queries drop to ONE timed rep
+  // (warm-up still runs). On a contended day the round-3 driver run spent
+  // the whole deadline on phase 1 (q_pipe_enrich median 51s vs 1.9s quiet)
+  // and starved both scaling phases; quiet hosts finish phase 1 in ~90s
+  // so this gate never fires there.
+  private val Phase1BudgetSec = sys.env.getOrElse("SPARK_GRAFT_P1_BUDGET_SEC", "240").toDouble
   // Task geometry matters for the scaling evidence: local mode schedules
   // tasks through a single-threaded event loop, so tasks must be meaty
   // enough (~30k rows ≈ 0.5s) that 32 workers stay fed. 256 input tasks
@@ -260,12 +274,16 @@ object Bench {
     * never settles — `pair_clean` then shows it). Stops at
     * `targetClean` clean pairs or when the remaining budget (minus
     * `reserve` for later phases) no longer covers another pair.
-    * `emit(json)` is called after EVERY pair with the evidence so far. */
+    * `emit(full, compact)` is called after EVERY pair with the evidence
+    * so far — `full` carries raw run arrays / probe floors / GC name,
+    * `compact` only the derived numbers (see the final-line note in
+    * [[main]]); returns the final (full, compact) block pair. */
   private def pairLoop(mode: String, rows: Long, coresN: Int, maxPairs: Int,
-      targetClean: Int, reserve: Double, emit: String => Unit): String = {
+      targetClean: Int, reserve: Double,
+      emit: (String, String) => Unit): (String, String) = {
     val cores4N = coresN * 4
     val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
-    def json(): String = {
+    def jsons(): (String, String) = {
       val effs = pairs.map(_.eff).toSeq
       val cleanEffs = pairs.filter(_.clean).map(_.eff).toSeq
       val eff = median(if (cleanEffs.nonEmpty) cleanEffs else effs)
@@ -277,17 +295,29 @@ object Bench {
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
           .asScala.map(_.getName).mkString("+")
       }
-      f"""{"rows":$rows%d,"cores_n":$coresN%d,"cores_4n":$cores4N%d,""" +
-        f""""mode":"$fmode%s","gc":"$gc%s",""" +
-        f""""runs_n":${arr(pairs.map(_.tN).toSeq)}%s,"runs_4n":${arr(pairs.map(_.t4N).toSeq)}%s,""" +
+      // derived numbers both lines carry; the pure-CPU ceiling (parallel
+      // register-spin floors, no memory traffic) bounds what ANY engine
+      // can show on this host at these widths — ~0.97 quiet
+      val ceiling = (HostProbe.bests.get(coresN), HostProbe.bests.get(cores4N)) match {
+        case (Some(a), Some(b)) if b > 0 => a / b
+        case _ => -1.0
+      }
+      val core =
         f""""pair_efficiencies":${arr(effs)}%s,""" +
         f""""pair_clean":${barr(pairs.map(_.clean).toSeq)}%s,""" +
         f""""clean_pair_efficiencies":${arr(cleanEffs)}%s,""" +
-        f""""probe_floor_sec_n":${HostProbe.bests.getOrElse(coresN, -1.0)}%.3f,""" +
-        f""""probe_floor_sec_4n":${HostProbe.bests.getOrElse(cores4N, -1.0)}%.3f,""" +
         f""""sec_n":$tN%.3f,"sec_4n":$t4N%.3f,""" +
         f""""seq_per_sec_n":${(rows / tN).toLong}%d,"seq_per_sec_4n":${(rows / t4N).toLong}%d,""" +
-        f""""scaling_efficiency":$eff%.3f}"""
+        f""""host_cpu_ceiling":$ceiling%.3f,""" +
+        f""""scaling_efficiency":$eff%.3f"""
+      val head = f"""{"rows":$rows%d,"cores_n":$coresN%d,"cores_4n":$cores4N%d,"mode":"$fmode%s","""
+      val full = head +
+        f""""gc":"$gc%s",""" +
+        f""""runs_n":${arr(pairs.map(_.tN).toSeq)}%s,"runs_4n":${arr(pairs.map(_.t4N).toSeq)}%s,""" +
+        f""""probe_floor_sec_n":${HostProbe.bests.getOrElse(coresN, -1.0)}%.3f,""" +
+        f""""probe_floor_sec_4n":${HostProbe.bests.getOrElse(cores4N, -1.0)}%.3f,""" +
+        core + "}"
+      (full, head + core + "}")
     }
     // ONE attempt per level per pair (no within-level retries): on a
     // bursty host, budget spent on MORE whole pairs beats re-measuring
@@ -308,10 +338,11 @@ object Bench {
         () => measuredRun(mode, cores4N, rows))
       pairs += Pair(tN, cN, t4, c4)
       lastPairCost = elapsed() - pairT0
-      emit(json())
+      val (f, c) = jsons()
+      emit(f, c)
       continue = remaining() - reserve > lastPairCost * 1.15
     }
-    json()
+    jsons()
   }
 
   def main(args: Array[String]): Unit = {
@@ -332,11 +363,15 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+        // contention-adaptive: past the phase-1 budget (a contended host
+        // runs 3-10x quiet speed), one timed rep per remaining query —
+        // scaling keeps its share of the deadline (round-3 lesson)
+        val reps = if (elapsed() > Phase1BudgetSec) 1 else Reps
         val out =
           if (remaining() < 45) Left("skipped: wall-clock deadline")
           else try {
             once() // warm-up (plan compile + codegen + page cache)
-            Right((1 to Reps).map(_ => once()))
+            Right((1 to reps).map(_ => once()))
           } catch {
             case e: Throwable =>
               Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
@@ -365,14 +400,30 @@ object Bench {
     val base = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_median":$qsMedian,"query_errors":$errs,"n_failed":$nFail,""" +
       s""""reps":$Reps,"sf":"$sfDir","deadline_sec":$DeadlineSec"""
-    def emitLine(extra: String): Unit = {
-      println(base + extra + "}")
+    // The compact twin omits the three per-query dicts (~2.3 KB at 53
+    // queries). The driver's tail window demonstrably truncates long
+    // lines head-first (`parsed: null` rounds 1-3, BENCH_r03.json's tail
+    // starts mid-dict), so after every full line we ALSO print a compact
+    // line carrying the headline totals plus the scaling blocks — the
+    // LAST line on stdout is always small enough to survive any window.
+    val baseCompact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_failed":$nFail,"reps":$Reps,"sf":"$sfDir","compact":true"""
+
+    // accumulated scaling blocks, (full, compact) per phase
+    var annBlocks: Option[(String, String)] = None
+    var pipeBlocks: Option[(String, String)] = None
+    def emitLines(): Unit = {
+      def blocks(pick: ((String, String)) => String): String =
+        annBlocks.map(b => s""","ann_scaling":${pick(b)}""").getOrElse("") +
+          pipeBlocks.map(b => s""","pipeline_scaling":${pick(b)}""").getOrElse("")
+      println(base + blocks(_._1) + "}")
+      println(baseCompact + blocks(_._2) + "}")
       Console.out.flush()
     }
 
     // COMPLETE phase-1 artifact immediately: if anything later blows the
-    // driver's clock, this line has already landed on stdout.
-    emitLine("")
+    // driver's clock, these lines have already landed on stdout.
+    emitLines()
 
     if (!sys.env.get("SPARK_GRAFT_SCALING").contains("off")) {
       // default 4 vs 16: a true 4x core ratio with headroom on the
@@ -381,25 +432,23 @@ object Bench {
       val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "4").toInt
       HostProbe.warm(coresN); HostProbe.warm(coresN * 4)
 
-      // phase 2: pipeline scaling. Reserve enough of the budget for one
-      // ANN pair at the default sizes so phase 3 still lands.
-      val annPairEstimate = 200.0
-      val annReserve = if (remaining() > 2 * annPairEstimate) annPairEstimate else 0.0
-      var scalingJson = ""
-      val pipelineFinal = pairLoop("pipeline", ScalingRows, coresN, MaxPairs,
-        TargetCleanPairs, reserve = annReserve,
-        emit = j => { scalingJson = s""","pipeline_scaling":$j"""; emitLine(scalingJson) })
-      scalingJson = s""","pipeline_scaling":$pipelineFinal""" // last pair already emitted
-
-      // phase 3: ANN scaling, budget-gated (2 clean pairs suffice); the
-      // gate matches the per-pair cost estimate — pairLoop's first pair
-      // runs unconditionally, so starting with less would overshoot the
-      // deadline by a full pair.
-      if (remaining() > annPairEstimate) {
-        pairLoop("ann", AnnRows, coresN, maxPairs = 3,
-          targetClean = 2, reserve = 0.0,
-          emit = j => emitLine(scalingJson + s""","ann_scaling":$j"""))
+      // phase 2: ANN scaling FIRST — its gate evidence (≥0.9 clean
+      // pairs, round 3) exists but has never landed in a driver artifact
+      // because the pipeline loop ate the budget on contended days. Its
+      // first pair runs unconditionally; later pairs stop once the
+      // reserve no longer fits, leaving the pipeline loop its share.
+      val pipePairEstimate = 150.0 // quiet-host 8M pair ≈ 125 s + warmups
+      if (!sys.env.get("SPARK_GRAFT_ANN").contains("off")) {
+        val (f, c) = pairLoop("ann", AnnRows, coresN, maxPairs = 3,
+          targetClean = 2, reserve = 2 * pipePairEstimate,
+          emit = (f, c) => { annBlocks = Some((f, c)); emitLines() })
+        annBlocks = Some((f, c))
       }
+
+      // phase 3: pipeline scaling with everything that remains.
+      pairLoop("pipeline", ScalingRows, coresN, MaxPairs,
+        TargetCleanPairs, reserve = 0.0,
+        emit = (f, c) => { pipeBlocks = Some((f, c)); emitLines() })
     }
   }
 }
