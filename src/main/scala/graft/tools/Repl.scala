@@ -164,13 +164,11 @@ object Repl {
 
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv.toList)
-    val oneShot = args.command.orElse(
-      args.commandFile.map(f => new String(Files.readAllBytes(Paths.get(f)))))
     if (args.inputs.isEmpty && !args.stdin) {
       System.err.println("The input filename must be defined.")
       sys.exit(2)
     }
-    if (args.stdin && oneShot.isEmpty) {
+    if (args.stdin && args.command.isEmpty && args.commandFile.isEmpty) {
       System.err.println("--stdin requires -c/--command-file (stdin carries the data).")
       sys.exit(2)
     }
@@ -183,6 +181,19 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val code = run(spark, args)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Execution core, split from process/session lifecycle (no
+    * `sys.exit`, no `spark.stop`) so a scripted one-shot run is
+    * drivable in-JVM against a shared test session — ReplGoldenSpec
+    * captures `Console.out` across this call and compares byte-exact
+    * against committed goldens. Returns the process exit code. */
+  private[tools] def run(spark: SparkSession, args: Args): Int = {
+    val oneShot = args.command.orElse(
+      args.commandFile.map(f => new String(Files.readAllBytes(Paths.get(f)))))
     import spark.implicits._
 
     val eng = new SqlEngine(spark)
@@ -242,7 +253,7 @@ object Repl {
     oneShot match {
       case Some(cmd) =>
         try runStatements(cmd)
-        catch { case e: Exception => println(s"error: ${e.getMessage}"); sys.exit(1) }
+        catch { case e: Exception => println(s"error: ${e.getMessage}"); return 1 }
       case None =>
         // Ctrl-C (reference ctrlc handler, src/main.rs:77-85): exit when
         // idle, cancel the RUNNING query otherwise — the REPL survives
@@ -289,7 +300,7 @@ object Repl {
           }
         } else plainLoop()
     }
-    spark.stop()
+    0
   }
 
   /** Interactive terminal loop: JLine line editing + history, tab
