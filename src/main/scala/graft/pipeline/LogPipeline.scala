@@ -37,8 +37,22 @@ object LogPipeline {
     "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
 
   /** Line-class rule (disjoint, priority audit > bulk > ingest):
-    * audit = __r3 % 37 == 0 (~2.7%), bulk = n_tok >= 512, else ingest. */
-  def renderLines(seqs: DataFrame): DataFrame = {
+    * audit = __r3 % 37 == 0 (~2.7%), bulk = n_tok >= 512, else ingest.
+    *
+    * Rendered by the codegen [[graft.functions.RenderLine]] expression —
+    * byte-identical to [[renderLinesFormatString]] (spec-asserted), which
+    * allocated a `java.util.Formatter` + boxed args per row: pure
+    * memory-bus churn the wide parallelism level pays twice (GC +
+    * bandwidth), i.e. exactly the shared resource limiting N→4N scaling
+    * on one host. */
+  def renderLines(seqs: DataFrame): DataFrame =
+    seqs.withColumn("line", graft.functions.RenderLine(
+      col("doc_id"), col("source"), col("n_tok"), col("__r3")))
+
+  /** The original declarative formulation, kept as the parity oracle for
+    * [[graft.functions.RenderLine]] (PipelineSpec asserts byte equality
+    * on a deterministic sample). */
+  private[graft] def renderLinesFormatString(seqs: DataFrame): DataFrame = {
     val r3 = col("__r3")
     // explicit integer division (Column `/` is double division)
     def idiv(x: Column, d: Long): Column = (x / d).cast(LongType)

@@ -26,6 +26,18 @@ class PipelineSpec extends SparkSpec {
     assert(webShare > 0.35 && webShare < 0.55, s"web share $webShare (expected hot ~0.45)")
   }
 
+  test("RenderLine codegen is byte-identical to the format_string chain it replaced") {
+    // 5k rows cover all three line classes (audit ~2.7%, bulk, ingest),
+    // 1-vs-2-digit days/nodes, and zero-padded time fields
+    val a = LogPipeline.renderLines(seqs).select(col("line"))
+    val b = LogPipeline.renderLinesFormatString(seqs).select(col("line"))
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    // all three classes actually present in the sample
+    val kinds = LogPipeline.parse(a).groupBy(col("sink")).count().count()
+    assert(kinds === 3)
+  }
+
   test("parse recovers every field the render stage encoded (count parity per sink)") {
     val parsed = LogPipeline.parse(
       LogPipeline.renderLines(seqs).select(col("line")))
