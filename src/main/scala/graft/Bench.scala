@@ -81,6 +81,9 @@ object Bench {
   private def elapsed(): Double = (System.nanoTime() - startNanos) / 1e9
   private def remaining(): Double = DeadlineSec - elapsed()
 
+  /** [[MemProbe]] N→4N floor, measured once before the scaling phases. */
+  private var memCeiling: Double = -1.0
+
   private def session(cores: Int): SparkSession = SparkSession.builder()
     .master(s"local[$cores]")
     .appName(s"graft-bench-$cores")
@@ -99,6 +102,7 @@ object Bench {
     // (a real cluster shuffles those bytes over NICs).
     .config("spark.io.compression.codec", "zstd")
     .config("spark.ui.enabled", "false")
+    .config(BenchRun.extraConfs)
     .getOrCreate()
 
   /** One measured pass at `cores`, dispatched per SPARK_GRAFT_FORK:
@@ -210,6 +214,45 @@ object Bench {
     def clean(threads: Int, p: Double): Boolean = p <= bests(threads) * 1.3
   }
 
+  /** DRAM-bandwidth ceiling probe: `threads` concurrent sequential
+    * xor-sum sweeps over PRIVATE 32 MiB long arrays, fixed per-thread
+    * work. Where [[HostProbe]]'s register spin bounds pure-CPU scaling
+    * (~0.97 on this box), this bounds the MEMORY-STREAMING floor: the
+    * per-thread working set defeats caches, so the 4N level demands 4x
+    * the bus bandwidth for the same per-thread work — exactly the shared
+    * resource a real cluster multiplies per node (each executor brings
+    * its own DRAM channels) but one host cannot. An engine whose N→4N
+    * efficiency lands between this floor and the CPU ceiling is limited
+    * by host bandwidth, not by serialization in its plan. */
+  private object MemProbe {
+    private val Words = (32 << 20) / 8 // 32 MiB of longs per thread
+    private val Passes = 8
+    def measure(threads: Int): Double = {
+      val arrays = Array.fill(threads)(new Array[Long](Words))
+      val t0 = System.nanoTime()
+      val ts = arrays.map { a =>
+        new Thread(() => {
+          var acc = 0L
+          var p = 0
+          while (p < Passes) {
+            var i = 0
+            while (i < Words) { acc ^= a(i); i += 1 }
+            p += 1
+          }
+          if (acc == 42L) Console.err.println("unreachable")
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    /** min-of-3 t(N)/t(4N): the bandwidth-bound scaling floor. */
+    def ceiling(coresN: Int): Double = {
+      def best(n: Int) = (1 to 3).map(_ => measure(n)).min
+      val tN = best(coresN); val t4N = best(coresN * 4)
+      tN / t4N
+    }
+  }
+
   /** Hypervisor steal fraction over an interval, from /proc/stat (field
     * 8 of the aggregate cpu line). Bracket probes sample host speed at
     * the run's endpoints; a contention BURST in the middle of a 90s run
@@ -295,20 +338,25 @@ object Bench {
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
           .asScala.map(_.getName).mkString("+")
       }
-      // derived numbers both lines carry; the pure-CPU ceiling (parallel
-      // register-spin floors, no memory traffic) bounds what ANY engine
-      // can show on this host at these widths — ~0.97 quiet
+      // derived numbers both lines carry. scaling_ceiling: the pure-CPU
+      // bound (parallel register-spin floors, no memory traffic) on what
+      // ANY engine can show on this host at these widths (~0.97 quiet);
+      // mem_ceiling: the DRAM-streaming floor (MemProbe) — the shared-bus
+      // resource a real cluster multiplies per node. An efficiency
+      // between the two is host-bandwidth-limited, not plan-limited.
       val ceiling = (HostProbe.bests.get(coresN), HostProbe.bests.get(cores4N)) match {
         case (Some(a), Some(b)) if b > 0 => a / b
         case _ => -1.0
       }
+      val normEff = if (ceiling > 0) eff / ceiling else -1.0
       val core =
         f""""pair_efficiencies":${arr(effs)}%s,""" +
         f""""pair_clean":${barr(pairs.map(_.clean).toSeq)}%s,""" +
         f""""clean_pair_efficiencies":${arr(cleanEffs)}%s,""" +
         f""""sec_n":$tN%.3f,"sec_4n":$t4N%.3f,""" +
         f""""seq_per_sec_n":${(rows / tN).toLong}%d,"seq_per_sec_4n":${(rows / t4N).toLong}%d,""" +
-        f""""host_cpu_ceiling":$ceiling%.3f,""" +
+        f""""scaling_ceiling":$ceiling%.3f,"mem_ceiling":$memCeiling%.3f,""" +
+        f""""ceiling_normalized_efficiency":$normEff%.3f,""" +
         f""""scaling_efficiency":$eff%.3f"""
       val head = f"""{"rows":$rows%d,"cores_n":$coresN%d,"cores_4n":$cores4N%d,"mode":"$fmode%s","""
       val full = head +
@@ -431,6 +479,7 @@ object Bench {
       // oversubscribed level
       val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "4").toInt
       HostProbe.warm(coresN); HostProbe.warm(coresN * 4)
+      memCeiling = MemProbe.ceiling(coresN)
 
       // phase 2: ANN scaling FIRST — its gate evidence (≥0.9 clean
       // pairs, round 3) exists but has never landed in a driver artifact

@@ -23,6 +23,16 @@ import graft.pipeline.{LogPipeline, TokenSequences}
   * pool all sized to N, and memory traffic confined to N cores. */
 object BenchRun {
 
+  /** Extra session confs from `SPARK_GRAFT_CONF="k=v;k=v"` — for
+    * interleaved A/B of shuffle/codec knobs (e.g.
+    * `spark.io.compression.zstd.level=3`) without a recompile. Empty by
+    * default, so driver-run benches are unaffected. */
+  val extraConfs: Map[String, String] =
+    sys.env.get("SPARK_GRAFT_CONF").map(_.split(';').toSeq
+      .filter(_.contains('='))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k.trim -> v.trim }
+      .toMap).getOrElse(Map.empty)
+
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val cores = args(1).toInt
@@ -49,6 +59,7 @@ object BenchRun {
       // see Bench.session: measured 2-3x at wide parallelism vs lz4
       .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
+      .config(extraConfs)
     val builder = execCores match {
       case Some(ec) =>
         val nExec = math.max(cores / ec, 1)
@@ -80,7 +91,9 @@ object BenchRun {
     case "pipeline" =>
       val t0 = System.nanoTime()
       val seqs = TokenSequences.synthetic(spark, rows, inputParts)
-      val routed = LogPipeline.parseEnrichRoute(spark, seqs, shuffleParts)
+      // SPARK_GRAFT_PACK=off: A/B control for the uint16 token transport
+      val routed = LogPipeline.parseEnrichRoute(spark, seqs, shuffleParts,
+        packTransport = !sys.env.get("SPARK_GRAFT_PACK").contains("off"))
       routed.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     // decomposition diagnostic: the pipeline WITHOUT the route shuffle —

@@ -10,6 +10,7 @@ import graft.table.ManifestTable
 /** North-rule pipeline behavior: per-sink parity, token-array equality,
   * snapshot commit + resume, left-outer enrich NULLs. */
 class PipelineSpec extends SparkSpec {
+  import spark.implicits._
 
   private val N = 5000L
 
@@ -65,6 +66,27 @@ class PipelineSpec extends SparkSpec {
     // plan check: dimension side must be broadcast
     val plan = enriched.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("PackTokens/UnpackTokens: round-trip identity, uint16 guard, null handling") {
+    import graft.functions.{PackTokens, UnpackTokens}
+    val df = seqs.limit(200).select(col("tokens"),
+      UnpackTokens(PackTokens(col("tokens"))).as("rt"))
+    assert(df.filter(col("tokens") =!= col("rt")).count() === 0)
+    // boundary values round-trip; out-of-range throws (corruption guard)
+    val edge = Seq(Seq(0, 1, 65535)).toDF("t")
+      .select(UnpackTokens(PackTokens(col("t"))).as("rt")).head().getSeq[Int](0)
+    assert(edge === Seq(0, 1, 65535))
+    // surfaces raw from local eval or wrapped in SparkException from tasks
+    val ex = intercept[Exception] {
+      Seq(Seq(65536)).toDF("t").select(PackTokens(col("t"))).collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(t => Option(t.getMessage).exists(_.contains("uint16"))))
+    // NULL array stays NULL
+    val n = Seq((1, Option.empty[Seq[Int]])).toDF("i", "t")
+      .select(PackTokens(col("t"))).head()
+    assert(n.isNullAt(0))
   }
 
   test("routed rows preserve token arrays bit-for-bit (BASELINE invariant)") {

@@ -56,6 +56,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(n == 3, s"expected 3 shared regex_captures nodes, found $n:\n$plan")
   }
 
+  test("route exchange ships PACKED tokens: pack below the shuffle, unpack above") {
+    // the token payload crosses the route exchange as uint16 binary
+    // (PackTokens) and is unpacked on the reduce side — if Catalyst ever
+    // collapsed the two projections across the RepartitionByExpression,
+    // the shuffle would silently ship 2x the bytes (entropy-bound to the
+    // codec) at 100 TB. Plan tree prints top-down: unpack must appear
+    // ABOVE the exchange, pack BELOW it.
+    val seqs = TokenSequences.synthetic(spark, 100L, 2)
+    val plan = executedPlan(LogPipeline.parseEnrichRoute(spark, seqs, 4))
+    val iUnpack = plan.indexOf("unpack_tokens")
+    val iExchange = plan.indexOf("Exchange")
+    // negative lookbehind: "pack_tokens(" is a substring of "unpack_tokens("
+    val iPack = "(?<!un)pack_tokens\\(".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(iUnpack >= 0 && iExchange >= 0 && iPack >= 0,
+      s"pack/unpack/exchange missing from route plan:\n$plan")
+    assert(iUnpack < iExchange && iExchange < iPack,
+      s"pack/unpack collapsed across the exchange:\n$plan")
+  }
+
   test("parse -> aggregate stays inside whole-stage codegen (no fallback)") {
     val seqs = TokenSequences.synthetic(spark, 100L, 2)
     val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
