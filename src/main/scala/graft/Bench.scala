@@ -229,20 +229,32 @@ object Bench {
     private val Passes = 8
     def measure(threads: Int): Double = {
       val arrays = Array.fill(threads)(new Array[Long](Words))
-      val t0 = System.nanoTime()
+      // Pre-fault OUTSIDE the timed region: a fresh array's pages are
+      // zero-filled by the kernel on first touch, and that cost scales
+      // with thread count — leaving it inside the timer once read the
+      // 4->16 floor at 0.251 vs 0.613 pre-faulted (it measured page
+      // zeroing, not streaming reads). Each thread touches its own
+      // pages, all rendezvous on `go`, then the timer starts.
+      val go = new java.util.concurrent.CountDownLatch(1)
+      val ready = new java.util.concurrent.CountDownLatch(threads)
       val ts = arrays.map { a =>
         new Thread(() => {
+          var i = 0
+          while (i < Words) { a(i) = i; i += 512 } // one touch per 4 KiB page
+          ready.countDown(); go.await()
           var acc = 0L
           var p = 0
           while (p < Passes) {
-            var i = 0
-            while (i < Words) { acc ^= a(i); i += 1 }
+            var j = 0
+            while (j < Words) { acc ^= a(j); j += 1 }
             p += 1
           }
           if (acc == 42L) Console.err.println("unreachable")
         })
       }
-      ts.foreach(_.start()); ts.foreach(_.join())
+      ts.foreach(_.start()); ready.await()
+      val t0 = System.nanoTime()
+      go.countDown(); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
     /** min-of-3 t(N)/t(4N): the bandwidth-bound scaling floor. */

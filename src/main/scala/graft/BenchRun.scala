@@ -77,11 +77,39 @@ object BenchRun {
     spark.sparkContext.setLogLevel("WARN")
 
     pass(spark, mode, warmRows, inputParts, shuffleParts) // JIT/codegen warm-up
+    val (cpu0, gc0, gcN0) = procStats()
     val elapsed = pass(spark, mode, rows, inputParts, shuffleParts)
-    // parent greps this exact marker from stdout
+    val (cpu1, gc1, gcN1) = procStats()
+    // parent greps these exact markers from stdout. PROC_CPU is the
+    // JVM's own consumed CPU seconds over the timed pass (JMX) — immune
+    // to hypervisor steal and co-tenant noise, so core-second
+    // comparisons across parallelism levels stay valid even in windows
+    // a wall-clock probe would reject. GC_SEC/GC_N likewise split
+    // collector work out of the mutator budget.
     println(f"ELAPSED $elapsed%.3f")
+    println(f"PROC_CPU ${cpu1 - cpu0}%.3f GC_SEC ${(gc1 - gc0) / 1e3}%.3f GC_N ${gcN1 - gcN0}%d")
     spark.stop()
   }
+
+  /** (process CPU seconds, cumulative GC millis, GC count) via JMX. */
+  private def procStats(): (Double, Long, Long) = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val os = ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (os.getProcessCpuTime / 1e9,
+      gcs.map(_.getCollectionTime).sum,
+      gcs.map(_.getCollectionCount).sum)
+  }
+
+  /** `SPARK_GRAFT_MAXTOK`: payload-sweep diagnostic — caps n_tok in the
+    * synthetic generator so the identical pipeline pair can be measured
+    * at shrinking token payloads (see TokenSequences.synthetic). Default
+    * leaves the BASELINE n_tok distribution (mean ~503) untouched. */
+  private val maxTok: Int =
+    sys.env.get("SPARK_GRAFT_MAXTOK").map(_.toInt)
+      .getOrElse(TokenSequences.MaxTok)
 
   /** One timed pass of the scaling workload; shared by the forked main
     * above and [[Bench]]'s in-process mode so every dispatch measures
@@ -90,7 +118,7 @@ object BenchRun {
       inputParts: Int, shuffleParts: Int): Double = mode match {
     case "pipeline" =>
       val t0 = System.nanoTime()
-      val seqs = TokenSequences.synthetic(spark, rows, inputParts)
+      val seqs = TokenSequences.synthetic(spark, rows, inputParts, maxTok)
       // SPARK_GRAFT_PACK=off: A/B control for the uint16 token transport
       val routed = LogPipeline.parseEnrichRoute(spark, seqs, shuffleParts,
         packTransport = !sys.env.get("SPARK_GRAFT_PACK").contains("off"))
@@ -103,7 +131,7 @@ object BenchRun {
     // bandwidth a real cluster scales per node).
     case "parse" =>
       val t0 = System.nanoTime()
-      val seqs = TokenSequences.synthetic(spark, rows, inputParts)
+      val seqs = TokenSequences.synthetic(spark, rows, inputParts, maxTok)
       val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
       val enriched = LogPipeline.enrich(parsed, LogPipeline.sourceDim(spark))
       enriched.write.format("noop").mode("overwrite").save()

@@ -37,47 +37,18 @@ case class RegexCaptures(child: Expression, pattern: String)
   @transient private lazy val compiled: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(pattern)
 
-  override def nullSafeEval(input: Any): Any = {
-    val m = compiled.matcher(input.asInstanceOf[UTF8String].toString)
-    if (!m.find()) null
-    else {
-      val n = m.groupCount()
-      val arr = new Array[Any](n + 1)
-      var i = 0
-      while (i <= n) {
-        val g = m.group(i)
-        arr(i) = if (g == null) null else UTF8String.fromString(g)
-        i += 1
-      }
-      new GenericArrayData(arr)
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    RegexCaptures.run(compiled, input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val patRef = ctx.addReferenceObj("pattern", compiled,
       classOf[java.util.regex.Pattern].getName)
-    val arrCls = classOf[GenericArrayData].getName
-    nullSafeCodeGen(ctx, ev, input => {
-      val m = ctx.freshName("m")
-      val arr = ctx.freshName("arr")
-      val i = ctx.freshName("i")
-      val g = ctx.freshName("g")
-      val n = ctx.freshName("n")
+    nullSafeCodeGen(ctx, ev, input =>
       s"""
-         |java.util.regex.Matcher $m = $patRef.matcher($input.toString());
-         |if ($m.find()) {
-         |  int $n = $m.groupCount();
-         |  Object[] $arr = new Object[$n + 1];
-         |  for (int $i = 0; $i <= $n; $i++) {
-         |    String $g = $m.group($i);
-         |    $arr[$i] = $g == null ? null : UTF8String.fromString($g);
-         |  }
-         |  ${ev.value} = new $arrCls($arr);
-         |} else {
-         |  ${ev.isNull} = true;
-         |}
-       """.stripMargin
-    })
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+         |  graft.functions.RegexCaptures.run($patRef, $input);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -89,4 +60,74 @@ object RegexCaptures {
   /** `regex_captures(line, pattern)` as a Column. */
   def apply(line: Column, pattern: String): Column =
     Bridge.column(RegexCaptures(Bridge.expression(line), pattern))
+
+  /** Zero-copy CharSequence over an ASCII byte array: `charAt` is a
+    * plain byte read. Valid ONLY when every byte is < 0x80 (checked by
+    * [[run]]) — for ASCII, UTF-8 byte offsets ARE char offsets, so the
+    * matcher's group bounds slice the ORIGINAL bytes directly. */
+  private final class AsciiSeq(bytes: Array[Byte], off: Int, len: Int)
+      extends CharSequence {
+    override def length(): Int = len
+    override def charAt(i: Int): Char = (bytes(off + i) & 0xFF).toChar
+    override def subSequence(s: Int, e: Int): CharSequence =
+      new AsciiSeq(bytes, off + s, e - s)
+    override def toString: String =
+      new String(bytes, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** Match `pattern` once against `line`, returning the capture array or
+    * null on no-match.
+    *
+    * Hot path (ASCII lines — every log line this engine parses): the
+    * matcher runs over a zero-copy byte view and each participating
+    * group becomes a `UTF8String` VIEW of the line's byte array — no
+    * `UTF8String -> String` decode, no per-group `String` + re-encode.
+    * (Safe: `getBytes` either copies into a fresh array we own, or
+    * returns the exact backing array of an immutable standalone
+    * UTF8String; either way the slice views never alias a reused row
+    * buffer, and downstream UnsafeWriters copy on consume.) The measured
+    * motivation: 3 patterns/line made `toString` + group round-trips the
+    * dominant per-row allocations of the parse stage (JFR round 4), and
+    * that allocation churn is exactly the memory-latency-bound work that
+    * inflates 1.4x at 16 threads on the shared-bus host.
+    *
+    * Non-ASCII lines fall back to the decoded-String path with
+    * char-offset group extraction (byte != char offsets there).
+    */
+  def run(pattern: java.util.regex.Pattern, line: UTF8String): GenericArrayData = {
+    val bytes = line.getBytes
+    var ascii = true
+    var k = 0
+    while (ascii && k < bytes.length) { ascii = bytes(k) >= 0; k += 1 }
+    if (ascii) {
+      val m = pattern.matcher(new AsciiSeq(bytes, 0, bytes.length))
+      if (!m.find()) null
+      else {
+        val n = m.groupCount()
+        val arr = new Array[Any](n + 1)
+        var i = 0
+        while (i <= n) {
+          val s = m.start(i)
+          arr(i) = if (s < 0) null
+            else UTF8String.fromBytes(bytes, s, m.end(i) - s)
+          i += 1
+        }
+        new GenericArrayData(arr)
+      }
+    } else {
+      val m = pattern.matcher(line.toString)
+      if (!m.find()) null
+      else {
+        val n = m.groupCount()
+        val arr = new Array[Any](n + 1)
+        var i = 0
+        while (i <= n) {
+          val g = m.group(i)
+          arr(i) = if (g == null) null else UTF8String.fromString(g)
+          i += 1
+        }
+        new GenericArrayData(arr)
+      }
+    }
+  }
 }

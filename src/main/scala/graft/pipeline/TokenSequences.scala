@@ -29,12 +29,14 @@ object TokenSequences {
     * multiplying so the chain never overflows i64 for ANY 63-bit seqId —
     * required because [[fromLineitem]] derives ids arithmetically (up to
     * ~2^53) and DuckDB errors (rather than wraps) on BIGINT overflow. */
-  def withSequenceColumns(df: DataFrame, seqId: Column): DataFrame = {
+  def withSequenceColumns(df: DataFrame, seqId: Column,
+      maxTok: Int = MaxTok): DataFrame = {
     val s = ((seqId % M) * 131071L + 524287L) % M
     val r1 = lcg(s)
     val r2 = lcg(r1)
     val r3 = lcg(r2)
-    val nTok = (lit(8) + (r1 % 45) * (r2 % 46)).cast(IntegerType)
+    val nTok = least(lit(8) + (r1 % 45) * (r2 % 46), lit(maxTok))
+      .cast(IntegerType)
     val source = when(r2 % 100 < 45, lit("web"))
       .when(r2 % 100 < 62, lit("books"))
       .when(r2 % 100 < 72, lit("code"))
@@ -43,7 +45,7 @@ object TokenSequences {
     // to the DuckDB oracle CTE below; see TokenGen's scaladoc for why a
     // transform(sequence(...)) HOF formulation is 'correct but unscalable'
     val tokens = graft.functions.TokenGen(seqId, nTok)
-    df.withColumn("doc_id", format_string("doc-%012d", seqId))
+    df.withColumn("doc_id", graft.functions.DocId(seqId))
       .withColumn("n_tok", nTok)
       .withColumn("tokens", tokens)
       .withColumn("source", source)
@@ -95,10 +97,18 @@ object TokenSequences {
   }
 
   /** Scale variant for bench: n rows straight from `spark.range` —
-    * embarrassingly parallel, zero input IO, any target size. */
-  def synthetic(spark: SparkSession, n: Long, partitions: Int): DataFrame = {
+    * embarrassingly parallel, zero input IO, any target size.
+    *
+    * `maxTok` caps `n_tok` (payload-sweep diagnostic: running the SAME
+    * pipeline pair at shrinking token payloads separates the plan's
+    * intrinsic N→4N scaling from the host's shared-bus ceiling — the
+    * per-row work outside the token payload is unchanged, so any
+    * efficiency recovered as bytes/row shrink was bus-bound, not
+    * plan-bound). Default leaves the BASELINE distribution untouched. */
+  def synthetic(spark: SparkSession, n: Long, partitions: Int,
+      maxTok: Int = MaxTok): DataFrame = {
     val base = spark.range(0, n, 1, partitions).select(col("id").as("seq_id"))
-    withSequenceColumns(base, col("seq_id"))
+    withSequenceColumns(base, col("seq_id"), maxTok)
       .select("doc_id", "tokens", "n_tok", "source", "__r3")
   }
 

@@ -181,4 +181,24 @@ class ExtractorSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts === Map("a.com" -> 3L, "b.net" -> 5L, "c.org" -> 12L))
   }
+
+  test("RegexCaptures: ASCII zero-copy path == non-ASCII String path semantics") {
+    import graft.functions.RegexCaptures
+    // pattern with: participating, empty-match, and non-participating groups
+    val pat = "k=(\\w+)(x?)(?: v=(\\d+))?"
+    val lines = Seq(
+      "k=abc v=42",        // all groups; group 2 empty
+      "k=abcx",            // group 3 non-participating -> NULL element
+      "nomatch here",      // no match -> NULL array
+      "café k=abc v=7",    // non-ASCII BEFORE the match: String fallback path
+      "k=ascii v=9 café")  // non-ASCII AFTER the match: offsets still correct
+    val out = lines.toDF("value")
+      .select(RegexCaptures(col("value"), pat).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(out(0) === Seq("k=abc v=42", "abc", "", "42"))
+    assert(out(1) === Seq("k=abcx", "abcx", "", null)) // greedy \w+ eats the x; group 3 non-participating -> null
+    assert(out(2) === null)
+    assert(out(3) === Seq("k=abc v=7", "abc", "", "7"))
+    assert(out(4) === Seq("k=ascii v=9", "ascii", "", "9"))
+  }
 }

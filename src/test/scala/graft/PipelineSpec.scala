@@ -68,6 +68,16 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("DocId codegen is byte-identical to format_string(doc-%012d) incl. >12-digit ids") {
+    import graft.functions.DocId
+    val ids = Seq(0L, 1L, 7L, 999999999999L, 1000000000000L, // 12->13 digit boundary
+      8796093022208L, Long.MaxValue) ++ (0 until 200).map(i => i * 40009L + 3)
+    val df = ids.toDF("id").select(
+      DocId(col("id")).as("a"),
+      format_string("doc-%012d", col("id")).as("b"))
+    assert(df.filter(col("a") =!= col("b")).count() === 0)
+  }
+
   test("PackTokens/UnpackTokens: round-trip identity, uint16 guard, null handling") {
     import graft.functions.{PackTokens, UnpackTokens}
     val df = seqs.limit(200).select(col("tokens"),
