@@ -77,9 +77,38 @@ object BenchRun {
     spark.sparkContext.setLogLevel("WARN")
 
     pass(spark, mode, warmRows, inputParts, shuffleParts) // JIT/codegen warm-up
+    // per-stage accounting for the timed pass (SPARK_GRAFT_STAGES=1):
+    // wall, summed task run time, max task — separates map from reduce
+    // and exposes straggler factors without the UI.
+    val stageStats = if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+      import org.apache.spark.scheduler._
+      val acc = new scala.collection.concurrent.TrieMap[Int, (String, Double, Double, Int)]()
+      val maxTask = new scala.collection.concurrent.TrieMap[Int, Double]()
+      val l = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          val d = e.taskInfo.duration / 1e3
+          maxTask.updateWith(e.stageId) { p => Some(math.max(p.getOrElse(0.0), d)) }
+        }
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val wall = (for { s <- si.submissionTime; c <- si.completionTime }
+            yield (c - s) / 1e3).getOrElse(-1.0)
+          acc(si.stageId) = (si.name.takeWhile(_ != '\n'),
+            wall, si.taskMetrics.executorRunTime / 1e3, si.numTasks)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      Some((acc, maxTask))
+    } else None
     val (cpu0, gc0, gcN0) = procStats()
     val elapsed = pass(spark, mode, rows, inputParts, shuffleParts)
     val (cpu1, gc1, gcN1) = procStats()
+    stageStats.foreach { case (acc, maxTask) =>
+      acc.toSeq.sortBy(_._1).foreach { case (id, (name, wall, taskSum, n)) =>
+        println(f"STAGE id=$id%d tasks=$n%d wall=$wall%.2f taskSum=$taskSum%.2f " +
+          f"maxTask=${maxTask.getOrElse(id, 0.0)}%.2f $name%s")
+      }
+    }
     // parent greps these exact markers from stdout. PROC_CPU is the
     // JVM's own consumed CPU seconds over the timed pass (JMX) — immune
     // to hypervisor steal and co-tenant noise, so core-second

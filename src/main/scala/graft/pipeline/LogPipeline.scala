@@ -167,10 +167,22 @@ object LogPipeline {
   // ----------------------------------------------------------------- route
 
   /** Salt for the hot-source skew: `pmod(hash(doc_id), salts)` spreads
-    * the `web` head across `salts` sub-partitions while keeping sink
-    * locality for the per-sink writes (SURVEY.md §7.3 step 6). */
-  def salted(routed: DataFrame, partitions: Int, salts: Int = 16): DataFrame =
-    routed.repartition(partitions, col("sink"), pmod(hash(col("doc_id")), lit(salts)))
+    * the `web` head across `salts` sub-partitions while keeping
+    * approximate sink locality for the per-sink writes (SURVEY.md §7.3
+    * step 6).
+    *
+    * The salt count MUST scale with the partition count: distinct keys
+    * = sinks x salts, and hash partitioning balances only when keys >>
+    * partitions x ln(partitions) — a fixed salt of 16 gave 48 keys over
+    * 128 partitions, so birthday-collision stacking made ~4x straggler
+    * reduce partitions (measured as the 16-core run's partial-width
+    * tail, BASELINE.md round 4). Default 2x partitions keeps the
+    * straggler bound ~1.2x at every scale; rows of one sink still land
+    * on a bounded partition subset. */
+  def salted(routed: DataFrame, partitions: Int, salts: Int = -1): DataFrame = {
+    val s = if (salts > 0) salts else math.max(16, 2 * partitions)
+    routed.repartition(partitions, col("sink"), pmod(hash(col("doc_id")), lit(s)))
+  }
 
   // ------------------------------------------------------------- aggregate
 
