@@ -58,6 +58,6 @@ object TokenGen {
       out(j - 1) = (((v * A + C) % M) % Vocab).toInt
       j += 1
     }
-    ArrayData.toArrayData(out)
+    new IntArrayData(out) // zero-copy view; see PrimitiveArrayData
   }
 }

@@ -99,6 +99,6 @@ object UnpackTokens {
       out(i) = (b(i * 2) & 0xFF) | ((b(i * 2 + 1) & 0xFF) << 8)
       i += 1
     }
-    ArrayData.toArrayData(out)
+    new IntArrayData(out) // zero-copy view; see PrimitiveArrayData
   }
 }

@@ -68,7 +68,7 @@ object EmbedGen {
       out(j) = ((((v * 1103515245L + 12345L) % M) % 2000L) - 1000L) / 1000.0f
       j += 1
     }
-    ArrayData.toArrayData(out)
+    new FloatArrayData(out) // zero-copy view; see PrimitiveArrayData
   }
 }
 
