@@ -492,6 +492,16 @@ object Bench {
         case _ => -1.0
       }
       val normEff = if (ceiling > 0) eff / ceiling else -1.0
+      // Deprivation-immune cross-check: total core-seconds burned for
+      // the identical work at N vs 4N (session bests). CPU time does
+      // not accrue while a thread is runnable-but-deprived, so this
+      // ratio is untouched by host CPU starvation; it degrades only
+      // with real per-instruction inflation (DRAM latency) or extra
+      // work at the wide level. A wall-clock scaling_efficiency far
+      // below this number localizes the gap to host scheduling, not
+      // the engine's plan.
+      val (bcN, bc4) = (bestCpu(_.cpuN), bestCpu(_.cpu4N))
+      val cpuEff = if (bcN > 0 && bc4 > 0) bcN / bc4 else -1.0
       val core =
         f""""pair_efficiencies":${arr(effs)}%s,""" +
         f""""pair_clean":${barr(cleanFlags)}%s,""" +
@@ -502,6 +512,7 @@ object Bench {
         f""""seq_per_sec_n":${(rows / tN).toLong}%d,"seq_per_sec_4n":${(rows / t4N).toLong}%d,""" +
         f""""scaling_ceiling":$ceiling%.3f,"mem_ceiling":$memCeiling%.3f,""" +
         f""""ceiling_normalized_efficiency":$normEff%.3f,""" +
+        f""""cpu_scaling_efficiency":$cpuEff%.3f,""" +
         f""""scaling_efficiency":$eff%.3f"""
       val head = f"""{"rows":$rows%d,"cores_n":$coresN%d,"cores_4n":$cores4N%d,"mode":"$fmode%s","""
       val full = head +
