@@ -453,14 +453,10 @@ object Bench {
       val xs = pairs.map(sel).filter(_ > 0)
       if (xs.nonEmpty) xs.min else -1.0
     }
-    def runClean(probeClean: Boolean, wall: Double, cpu: Double,
-        cores: Int, floor: Double): Boolean =
-      probeClean && (cpu <= 0 || floor <= 0 ||
-        (cpu <= floor * CpuInflTol && cpu / (wall * cores) >= MinUtil))
     def cleanOf(p: Pair): Boolean = {
       val (fN, f4) = (bestCpu(_.cpuN), bestCpu(_.cpu4N))
-      runClean(p.probeCleanN, p.tN, p.cpuN, coresN, fN) &&
-        runClean(p.probeClean4N, p.t4N, p.cpu4N, cores4N, f4)
+      ScalingGate.runClean(p.probeCleanN, p.tN, p.cpuN, coresN, fN, MinUtil, CpuInflTol) &&
+        ScalingGate.runClean(p.probeClean4N, p.t4N, p.cpu4N, cores4N, f4, MinUtil, CpuInflTol)
     }
     def cleanCount: Int = pairs.count(cleanOf)
     def jsons(): (String, String) = {
@@ -659,4 +655,20 @@ object Bench {
         emit = (f, c) => { pipeBlocks = Some((f, c)); emitLines() })
     }
   }
+}
+
+/** Run-derived cleanliness criterion for one scaling measurement,
+  * extracted from [[Bench]]'s pair loop for unit testing
+  * (BenchGateSpec). Rationale in [[Bench]]'s `Pair` scaladoc: on this
+  * steal-blind Firecracker guest, the run's own published accounting
+  * (wall, process-CPU core-seconds) is the only reliable detector of
+  * host-level CPU deprivation (utilization below `minUtil`) and of
+  * DRAM-latency contention (core-seconds above `cpuTol` × the session
+  * floor). `cpu <= 0` / `cpuFloor <= 0` mean "no CPU accounting
+  * available" (in-process mode) and leave the probe verdict alone. */
+private[graft] object ScalingGate {
+  def runClean(probeClean: Boolean, wall: Double, cpu: Double,
+      cores: Int, cpuFloor: Double, minUtil: Double, cpuTol: Double): Boolean =
+    probeClean && (cpu <= 0 || cpuFloor <= 0 ||
+      (cpu <= cpuFloor * cpuTol && cpu / (wall * cores) >= minUtil))
 }
