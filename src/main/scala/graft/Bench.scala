@@ -600,9 +600,17 @@ object Bench {
     val total = results.collect { case (_, Right(ts)) => ts.min }.sum
     val nFail = results.count(_._2.isLeft)
 
+    // Host context, so the artifact self-documents the steal-blind-guest
+    // analysis (an `fc` kernel = Firecracker = no hypervisor steal
+    // accounting; see the Pair scaladoc and BASELINE.md round 4).
+    val kernel = esc(scala.util.Try(
+      scala.io.Source.fromFile("/proc/sys/kernel/osrelease").mkString.trim)
+      .getOrElse("unknown"))
+    val host = s""""kernel":"$kernel","host_cores":${Runtime.getRuntime.availableProcessors}"""
+
     val base = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_median":$qsMedian,"query_errors":$errs,"n_failed":$nFail,""" +
-      s""""reps":$Reps,"sf":"$sfDir","deadline_sec":$DeadlineSec"""
+      s""""reps":$Reps,"sf":"$sfDir",$host,"deadline_sec":$DeadlineSec"""
     // The compact twin omits the three per-query dicts (~2.3 KB at 53
     // queries). The driver's tail window demonstrably truncates long
     // lines head-first (`parsed: null` rounds 1-3, BENCH_r03.json's tail
@@ -610,7 +618,7 @@ object Bench {
     // line carrying the headline totals plus the scaling blocks — the
     // LAST line on stdout is always small enough to survive any window.
     val baseCompact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_failed":$nFail,"reps":$Reps,"sf":"$sfDir","compact":true"""
+      s""""n_failed":$nFail,"reps":$Reps,"sf":"$sfDir",$host,"compact":true"""
 
     // accumulated scaling blocks, (full, compact) per phase
     var annBlocks: Option[(String, String)] = None
