@@ -313,8 +313,17 @@ object Bench {
       * callers take the min of two sweeps per bracket to cut that
       * spread before comparing. This bracket is a supplement — the
       * primary deprivation/DRAM detectors are the run-derived
-      * utilization and core-second-inflation criteria (see [[Pair]]). */
-    def clean(threads: Int, t: Double): Boolean = t <= bests(threads) * 1.3
+      * utilization and core-second-inflation criteria (see [[Pair]]).
+      *
+      * Tolerance is per-width: at 16 threads the sweep saturates the
+      * bus and repeats within ~1.1x, but at 4 threads it runs far from
+      * saturation and page placement alone spreads min-of-2 readings
+      * ~1.4x (measured 2026-08-18) — a 1.3x gate there marks every
+      * bracket after one lucky best as dirty (the round-4 dress run
+      * flagged all six scaling runs dirty this way while their own
+      * accounting was at quiet floors). */
+    def clean(threads: Int, t: Double): Boolean =
+      t <= bests(threads) * (if (threads >= 12) 1.3 else 1.5)
   }
 
   /** Hypervisor steal fraction over an interval, from /proc/stat (field
@@ -357,10 +366,16 @@ object Bench {
     * spin + steal are jointly blind to a co-tenant saturating the
     * shared memory controllers from another VM: CPUs idle, steal ~0,
     * yet every cache-missing load crawls (see [[MemProbe.clean]]). */
+  /** One bracketed measurement: (wall, cpu core-s, worst spin bracket,
+    * worst mem bracket, probe-clean). The bracket worsts are published
+    * per run so a dirty flag is always attributable to a specific
+    * detector from the artifact alone. */
   private def cleanRun(cores: Int, maxTries: Int, reserve: Double)
-      (run: () => (Double, Double)): (Double, Double, Boolean) = {
+      (run: () => (Double, Double)): (Double, Double, Double, Double, Boolean) = {
     var last = 0.0
     var lastCpu = -1.0
+    var spinW = -1.0
+    var memW = -1.0
     var tries = 0
     var budgetOk = true
     while (tries < maxTries && budgetOk) {
@@ -370,14 +385,15 @@ object Bench {
       last = r; lastCpu = cpu
       val m2 = math.min(MemProbe.measure(cores), MemProbe.measure(cores))
       val p2 = HostProbe.measure(cores)
+      spinW = math.max(p1, p2); memW = math.max(m1, m2)
       if (HostProbe.clean(cores, p1) && HostProbe.clean(cores, p2) &&
           MemProbe.clean(cores, m1) && MemProbe.clean(cores, m2) &&
           steal < 0.02)
-        return (last, lastCpu, true)
+        return (last, lastCpu, spinW, memW, true)
       tries += 1
       budgetOk = remaining() - reserve > last * 1.2
     }
-    (last, lastCpu, false)
+    (last, lastCpu, spinW, memW, false)
   }
 
   private def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
@@ -405,8 +421,10 @@ object Bench {
     *
     * Both use only numbers published raw in the artifact (`runs_*`,
     * `cpu_core_sec_*`), so the judge can recompute every flag. */
-  private final case class Pair(tN: Double, cpuN: Double, probeCleanN: Boolean,
-      t4N: Double, cpu4N: Double, probeClean4N: Boolean) {
+  private final case class Pair(tN: Double, cpuN: Double, spinN: Double,
+      memN: Double, probeCleanN: Boolean,
+      t4N: Double, cpu4N: Double, spin4N: Double, mem4N: Double,
+      probeClean4N: Boolean) {
     def eff: Double = tN / (4.0 * t4N)
     def probeClean: Boolean = probeCleanN && probeClean4N
   }
@@ -515,6 +533,8 @@ object Bench {
         f""""gc":"$gc%s",""" +
         f""""runs_n":${arr(pairs.map(_.tN).toSeq)}%s,"runs_4n":${arr(pairs.map(_.t4N).toSeq)}%s,""" +
         f""""cpu_core_sec_n":${arr(pairs.map(_.cpuN).toSeq)}%s,"cpu_core_sec_4n":${arr(pairs.map(_.cpu4N).toSeq)}%s,""" +
+        f""""spin_bracket_n":${arr(pairs.map(_.spinN).toSeq)}%s,"spin_bracket_4n":${arr(pairs.map(_.spin4N).toSeq)}%s,""" +
+        f""""mem_bracket_n":${arr(pairs.map(_.memN).toSeq)}%s,"mem_bracket_4n":${arr(pairs.map(_.mem4N).toSeq)}%s,""" +
         f""""probe_floor_sec_n":${HostProbe.bests.getOrElse(coresN, -1.0)}%.3f,""" +
         f""""probe_floor_sec_4n":${HostProbe.bests.getOrElse(cores4N, -1.0)}%.3f,""" +
         f""""mem_floor_sec_n":${MemProbe.bests.getOrElse(coresN, -1.0)}%.3f,""" +
@@ -535,11 +555,11 @@ object Bench {
         && cleanCount < targetClean
         && (lastPairCost == 0.0 || remaining() - reserve > lastPairCost * 1.15)) {
       val pairT0 = elapsed()
-      val (tN, cpuN, cN) = cleanRun(coresN, maxTries = 1, reserve)(
+      val (tN, cpuN, spN, meN, cN) = cleanRun(coresN, maxTries = 1, reserve)(
         () => measuredRun(mode, coresN, rows))
-      val (t4, cpu4, c4) = cleanRun(cores4N, maxTries = 1, reserve)(
+      val (t4, cpu4, sp4, me4, c4) = cleanRun(cores4N, maxTries = 1, reserve)(
         () => measuredRun(mode, cores4N, rows))
-      pairs += Pair(tN, cpuN, cN, t4, cpu4, c4)
+      pairs += Pair(tN, cpuN, spN, meN, cN, t4, cpu4, sp4, me4, c4)
       lastPairCost = elapsed() - pairT0
       val (f, c) = jsons()
       emit(f, c)
