@@ -315,15 +315,21 @@ object Bench {
       * primary deprivation/DRAM detectors are the run-derived
       * utilization and core-second-inflation criteria (see [[Pair]]).
       *
-      * Tolerance is per-width: at 16 threads the sweep saturates the
-      * bus and repeats within ~1.1x, but at 4 threads it runs far from
-      * saturation and page placement alone spreads min-of-2 readings
-      * ~1.4x (measured 2026-08-18) — a 1.3x gate there marks every
-      * bracket after one lucky best as dirty (the round-4 dress run
-      * flagged all six scaling runs dirty this way while their own
-      * accounting was at quiet floors). */
+      * The gate applies at bus-saturating widths ONLY (≥12 threads,
+      * 1.3x of session best). Below that the sweep runs far from
+      * saturation, so its reading is dominated by page/NUMA placement
+      * rather than external traffic: min-of-2 readings spread ~1.4x on
+      * a fresh heap, and after an in-process phase-1 Spark session has
+      * churned the orchestrator heap they level-shift 2.4x above the
+      * pre-churn floor (both measured 2026-08-18 — the second pattern
+      * false-flagged every narrow-level bracket of both sbt dress runs
+      * while the runs' own accounting sat at quiet floors). The narrow
+      * level also has near-zero detection value to lose: its measured
+      * core-seconds are stable (248-270 across every window all round)
+      * because 4 pinned cores barely contend on the bus, and it keeps
+      * the spin/steal/utilization/inflation gates regardless. */
     def clean(threads: Int, t: Double): Boolean =
-      t <= bests(threads) * (if (threads >= 12) 1.3 else 1.5)
+      threads < 12 || t <= bests(threads) * 1.3
   }
 
   /** Hypervisor steal fraction over an interval, from /proc/stat (field
