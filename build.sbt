@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps the LAST parseable stdout line of `sbt runMain
+// graft.Bench` for the benchmark artifact. By default sbt routes forked
+// output through its logger (prefixing `[info] `) and appends a
+// `[success] Total time: ...` line — both kept the artifact unparseable
+// for four straight rounds (`parsed: null`). StdoutOutput passes the
+// forked JVM's stdout through verbatim; showSuccess drops the trailer.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

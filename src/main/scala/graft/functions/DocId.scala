@@ -40,7 +40,11 @@ object DocId {
     Bridge.column(DocId(Bridge.expression(seqId)))
 
   def compute(id: Long): UTF8String = {
-    if (id < 0) return UTF8String.fromString(String.format("doc-%012d", Long.box(id)))
+    // Pin Locale.US like Spark's format_string does: under a non-US
+    // default locale (e.g. non-ASCII digit scripts) locale-default
+    // String.format would break the claimed byte-parity.
+    if (id < 0) return UTF8String.fromString(
+      String.format(java.util.Locale.US, "doc-%012d", Long.box(id)))
     var digits = 1
     var p = 10L
     while (digits < 19 && p <= id) { digits += 1; p *= 10 }

@@ -86,8 +86,13 @@ object RenderLine {
     s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p)
     p + s.numBytes
   }
-  /** Unpadded non-negative decimal (`%d`). */
+  /** Unpadded non-negative decimal (`%d`). Negative input means a
+    * broken generator contract (n_tok/r3 are non-negative by
+    * construction); fail loudly rather than silently emitting zero
+    * digits and letting a malformed line pass the downstream parse. */
   private def putInt(buf: Array[Byte], p0: Int, v0: Long): Int = {
+    if (v0 < 0) throw new IllegalArgumentException(
+      s"RenderLine.putInt: negative value $v0 violates the non-negative field contract")
     if (v0 == 0) { buf(p0) = '0'; return p0 + 1 }
     var digits = 0; var v = v0
     while (v > 0) { digits += 1; v /= 10 }

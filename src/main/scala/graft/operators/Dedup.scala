@@ -27,11 +27,23 @@ object Dedup {
     * fall through to the remaining columns in order, so the survivor is
     * fully deterministic. (Requires orderable column types — no MapType —
     * the same constraint the ORDER BY in the window formulation had on
-    * `keep` alone, widened to the carried row.) */
+    * `keep` alone, widened to the carried row; checked eagerly below so
+    * the caller gets a clear error instead of an analysis failure.) */
   def exact(df: DataFrame, on: Column, keep: Column): DataFrame = {
     val cols = df.columns
+    val unorderable = df.schema.fields.collect {
+      case f if !org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(unorderable.isEmpty,
+      s"Dedup.exact carries every column through a min(struct(...)) aggregate, " +
+        s"which needs orderable types; unorderable column(s): ${unorderable.mkString(", ")}. " +
+        s"Drop or re-encode them (e.g. map -> sorted entries array) before deduping.")
+    // survivor-rank field name must not collide with a user column
+    val keepField = Iterator.from(0).map(i => s"__graft_keep$i")
+      .find(n => !cols.contains(n)).get
     df.groupBy(md5(on.cast(StringType)).as("__digest"))
-      .agg(min(struct(keep.as("__graft_keep") +: cols.map(col): _*)).as("__row"))
+      .agg(min(struct(keep.as(keepField) +: cols.map(col): _*)).as("__row"))
       .select(cols.map(c => col("__row").getField(c).as(c)): _*)
   }
 

@@ -200,15 +200,20 @@ object LogPipeline {
 
   /** Full flow from a sequence table to the routed relation.
     *
-    * The token payload crosses the route exchange PACKED to uint16
-    * ([[graft.functions.PackTokens]]: vocab < 2^16 by contract) and is
+    * With `packTransport = true` the token payload crosses the route
+    * exchange PACKED to uint16 ([[graft.functions.PackTokens]]) and is
     * unpacked on the reduce side, so callers see the same
     * `array<int32>` column — measured ~32% fewer shuffle bytes than
     * zstd-compressed int32 (pseudo-random ids are entropy-bound to the
     * codec) and the payload skips the compressor entirely. At 100 TB
-    * those bytes are the route stage's NIC traffic. */
+    * those bytes are the route stage's NIC traffic. It is an OPT-IN
+    * because it imposes a vocabulary bound the general API must not:
+    * PackTokens fails fast on any token id outside [0, 65535], so only
+    * callers whose input contract pins the vocab below 2^16 (the
+    * TESTDATA tables, the bench generator) should enable it. Default
+    * false: arbitrary int32 vocabularies route unpacked. */
   def parseEnrichRoute(spark: SparkSession, seqs: DataFrame,
-      partitions: Int, packTransport: Boolean = true): DataFrame = {
+      partitions: Int, packTransport: Boolean = false): DataFrame = {
     val rendered = renderLines(seqs)
       .select(col("line"), col("tokens").as("tokens_in"))
     val parsed = parse(rendered, carry = Seq("tokens_in"))

@@ -65,7 +65,7 @@ object PipelineQueries {
     // the BASELINE "per-sink count parity" gate.
     "q_pipe_route" -> ((s, dir) => {
       val seqs = TokenSequences.fromLineitem(s, dir)
-      val routed = LogPipeline.parseEnrichRoute(s, seqs, partitions = 32)
+      val routed = LogPipeline.parseEnrichRoute(s, seqs, partitions = 32, packTransport = true)
       routed.groupBy(col("sink"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_tok")).as("sum_tok"),
@@ -84,7 +84,7 @@ object PipelineQueries {
     // n_tok survived the render->regex round trip.
     "q_pipe_tokeq" -> ((s, dir) => {
       val seqs = TokenSequences.fromLineitem(s, dir)
-      val routed = LogPipeline.parseEnrichRoute(s, seqs, partitions = 32)
+      val routed = LogPipeline.parseEnrichRoute(s, seqs, partitions = 32, packTransport = true)
       val expect = graft.functions.TokenGen(
         substring(col("doc_id"), 5, 24).cast(LongType), col("n_tok"))
       routed.withColumn("tokens_expect", expect)

@@ -214,18 +214,19 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // A7: exact percentile, reference convention floor(p*n) — expressed
-    // both via the custom Aggregator (tested in specs) and here as a
-    // deterministic window formulation the oracle can replicate.
+    // A7: exact percentile, reference convention floor(p*n). The gate
+    // runs the [[graft.functions.Aggregates.percentileExact]] Aggregator
+    // (one hash aggregate, map-side partial merge — the 100 TB shape);
+    // the oracle replicates the same convention with a deterministic
+    // row_number/count window formulation (DuckDB has no floor(p*n)
+    // percentile). The old double-window gate form shuffled the whole
+    // table into one task per group — a skew magnet at scale — and was
+    // a top-5 phase-1 cost (VERDICT r4).
     "q_percentile" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
       t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-        .filter(col("rn") - 1 === floor(lit(0.5) * col("n")))
-        .select(col("l_returnflag"), col("l_quantity").as("p50"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.Aggregates
+          .percentileExact(col("l_quantity"), 0.5).as("p50"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -13,7 +13,7 @@ object HotLoop {
     val seqs = TokenSequences.synthetic(spark, 2000000L, 256)
     while (true) {
       val t0 = System.nanoTime()
-      val routed = LogPipeline.parseEnrichRoute(spark, seqs, 128)
+      val routed = LogPipeline.parseEnrichRoute(spark, seqs, 128, packTransport = true)
       routed.write.format("noop").mode("overwrite").save()
       println(f"full+payload: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }

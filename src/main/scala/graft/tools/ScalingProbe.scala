@@ -47,7 +47,7 @@ object ScalingProbe {
           .agg(sum(size(col("tokens_in")))).collect()
       }
       time("full: +enrich +salted-repartition +sink aggregates") {
-        val routed = LogPipeline.parseEnrichRoute(spark, seqs, 128)
+        val routed = LogPipeline.parseEnrichRoute(spark, seqs, 128, packTransport = true)
         LogPipeline.sinkAggregates(routed).collect()
       }
       time("payload no-shuffle: parse+enrich (incl tokens) to noop sink") {
@@ -58,7 +58,7 @@ object ScalingProbe {
           .write.format("noop").mode("overwrite").save()
       }
       time("full+payload: routed rows (incl tokens) to noop sink") {
-        val routed = LogPipeline.parseEnrichRoute(spark, seqs, 128)
+        val routed = LogPipeline.parseEnrichRoute(spark, seqs, 128, packTransport = true)
         routed.write.format("noop").mode("overwrite").save()
       }
       spark.stop()

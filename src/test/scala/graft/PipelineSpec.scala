@@ -100,12 +100,18 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("routed rows preserve token arrays bit-for-bit (BASELINE invariant)") {
-    val routed = LogPipeline.parseEnrichRoute(spark, seqs, partitions = 8)
-    val regen = TokenSequences.synthetic(spark, N, partitions = 8)
-      .select(col("doc_id"), col("tokens").as("expect"))
-    val joined = routed.join(regen, Seq("doc_id"))
-    assert(joined.count() === N)
-    assert(joined.filter(col("tokens_in") =!= col("expect")).count() === 0)
+    // both transport modes: packed uint16 (bench/gate opt-in) and the
+    // general unpacked default must round-trip identically
+    for (pack <- Seq(true, false)) {
+      val routed = LogPipeline.parseEnrichRoute(spark, seqs, partitions = 8,
+        packTransport = pack)
+      val regen = TokenSequences.synthetic(spark, N, partitions = 8)
+        .select(col("doc_id"), col("tokens").as("expect"))
+      val joined = routed.join(regen, Seq("doc_id"))
+      assert(joined.count() === N, s"packTransport=$pack")
+      assert(joined.filter(col("tokens_in") =!= col("expect")).count() === 0,
+        s"packTransport=$pack")
+    }
   }
 
   test("snapshot write + commit + time-travel read") {

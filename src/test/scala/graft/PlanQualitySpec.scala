@@ -64,7 +64,7 @@ class PlanQualitySpec extends SparkSpec {
     // codec) at 100 TB. Plan tree prints top-down: unpack must appear
     // ABOVE the exchange, pack BELOW it.
     val seqs = TokenSequences.synthetic(spark, 100L, 2)
-    val plan = executedPlan(LogPipeline.parseEnrichRoute(spark, seqs, 4))
+    val plan = executedPlan(LogPipeline.parseEnrichRoute(spark, seqs, 4, packTransport = true))
     val iUnpack = plan.indexOf("unpack_tokens")
     val iExchange = plan.indexOf("Exchange")
     // negative lookbehind: "pack_tokens(" is a substring of "unpack_tokens("

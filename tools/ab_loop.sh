@@ -11,7 +11,17 @@
 set -u
 CORES="$1"; CPUS="$2"; ROWS="$3"; ITERS="$4"
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
-JF=$(grep -o '\-\-add-opens [^ ]*' /tmp/graft_bench.sh | tr '\n' ' ')
+# JDK17 module opens (inlined — mirrors build.sbt jdk17AddOpens; do NOT
+# scrape them from /tmp, which may not exist on a fresh host)
+JF=""
+for p in java.base/java.lang java.base/java.lang.invoke \
+         java.base/java.lang.reflect java.base/java.io java.base/java.net \
+         java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs \
+         java.base/sun.security.action java.base/sun.util.calendar; do
+  JF="$JF --add-opens $p=ALL-UNNAMED"
+done
 
 VARIANT_LABELS=(base offheap)
 VARIANT_CONFS=("" "spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=8g")
