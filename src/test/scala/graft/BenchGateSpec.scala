@@ -125,4 +125,9 @@ class BenchGateSpec extends AnyFunSuite {
     assert(grade(wallN = 53.0, cpuN = 207.0, wall4 = 15.9, cpu4 = 243.0,
       memCeil = 0.549) === "contended")
   }
+
+  test("MemSweep produces a positive, finite sweep time (ceiling probe substrate)") {
+    val t = MemSweep.sweep(2)
+    assert(t > 0.0 && t < 60.0, s"implausible sweep time $t")
+  }
 }
