@@ -489,6 +489,7 @@ object Bench {
     * compact) block pair. */
   private def pairLoop(mode: String, rows: Long, coresN: Int, maxPairs: Int,
       targetClean: Int, reserve: Double, minPairs: Int, pairCostEstimate: Double,
+      stopTier: String = "quiet",
       emit: (String, String) => Unit): (String, String) = {
     val cores4N = coresN * 4
     val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
@@ -509,7 +510,24 @@ object Bench {
     // criteria alone are session-relative and under-reject when the
     // whole session is bus-saturated (round-4 driver draw).
     def cleanOf(p: Pair): Boolean = gradeOf(p) == "quiet"
-    def cleanCount: Int = pairs.count(cleanOf)
+    // run-accounting-clean (the pre-round-5 rule, window grade ignored):
+    // used by the cpu+probe fallback tier and, for phases launched with
+    // stopTier="cpu+probe", by the STOP criterion below
+    def cpuCleanOf(p: Pair): Boolean = {
+      val (fN, f4) = (bestCpu(_.cpuN), bestCpu(_.cpu4N))
+      ScalingGate.runClean(p.probeCleanN, p.tN, p.cpuN, coresN, fN, MinUtil, CpuInflTol) &&
+        ScalingGate.runClean(p.probeClean4N, p.t4N, p.cpu4N, cores4N, f4, MinUtil, CpuInflTol)
+    }
+    // STOP criterion (budget allocation only — reporting tiers are
+    // unaffected): `targetClean` pairs clean at `stopTier`. The ANN
+    // phase stops at the cpu+probe tier because on a bus-saturated day
+    // no extra pair can upgrade its window grade, while every ~150 s it
+    // burns is a third of a pipeline pair — the scarcest evidence (the
+    // round-5 dress rehearsals drew [0.923, 0.898, 0.923] ANN pairs and
+    // had budget left for only TWO pipeline pairs).
+    def stopCleanOf(p: Pair): Boolean =
+      cleanOf(p) || (stopTier == "cpu+probe" && cpuCleanOf(p))
+    def cleanCount: Int = pairs.count(stopCleanOf)
     def jsons(): (String, String) = {
       val effs = pairs.map(_.eff).toSeq
       val grades = pairs.map(gradeOf).toSeq
@@ -517,11 +535,7 @@ object Bench {
       val cleanEffs = pairs.zip(cleanFlags).collect { case (p, true) => p.eff }.toSeq
       // fallback ladder: quiet-window clean -> run-accounting clean
       // (old rule, window ignored) -> probe-clean -> all
-      val cpuCleanEffs = pairs.filter { p =>
-        val (fN, f4) = (bestCpu(_.cpuN), bestCpu(_.cpu4N))
-        ScalingGate.runClean(p.probeCleanN, p.tN, p.cpuN, coresN, fN, MinUtil, CpuInflTol) &&
-          ScalingGate.runClean(p.probeClean4N, p.t4N, p.cpu4N, cores4N, f4, MinUtil, CpuInflTol)
-      }.map(_.eff).toSeq
+      val cpuCleanEffs = pairs.filter(cpuCleanOf).map(_.eff).toSeq
       val probeEffs = pairs.filter(_.probeClean).map(_.eff).toSeq
       val (usedEffs, tier) =
         if (cleanEffs.nonEmpty) (cleanEffs, "quiet")
@@ -780,6 +794,7 @@ object Bench {
         val (f, c) = pairLoop("ann", AnnRows, coresN, maxPairs = 3,
           targetClean = 2, reserve = 2 * pipePairEstimate,
           minPairs = 2, pairCostEstimate = 140.0,
+          stopTier = "cpu+probe", // see pairLoop's STOP criterion note
           emit = (f, c) => { annBlocks = Some((f, c)); emitLines() })
         annBlocks = Some((f, c))
       }
