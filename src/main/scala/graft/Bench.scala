@@ -98,8 +98,13 @@ object Bench {
     * measured once before the scaling phases and re-measured around
     * every pair; the per-pair readings grade each pair's window. */
   private var memCeiling: Double = -1.0
+  /** Ceiling-probe history for regime detection (see waitForQuiet). */
+  private var ceilProbes = 0
+  private var quietSeen = false
   private def recordCeiling(c: Double): Double = {
     if (c > memCeiling) memCeiling = c
+    ceilProbes += 1
+    if (c >= MemCeilMin) quietSeen = true
     c
   }
 
@@ -637,7 +642,15 @@ object Bench {
       var ceil = ceil0
       var slices = 0
       val estimate = if (lastPairCost > 0) lastPairCost else pairCostEstimate
-      while (ceil < MemCeilMin && slices < 6 && pairs.nonEmpty &&
+      // Regime detection: on a day whose memory bus NEVER clears (the
+      // round-5 morning logged 25+ consecutive sub-threshold ceilings
+      // over three hours), every wait slice is a pure loss — ~110 s of
+      // waiting per pair cost one dress rehearsal a whole pipeline
+      // pair. Once the session has probed ≥10 times without a single
+      // quiet reading, stop betting on one and spend the budget on
+      // more (honestly contended-graded) pairs instead.
+      val regimeMayClear = quietSeen || ceilProbes < 10
+      while (ceil < MemCeilMin && slices < 6 && pairs.nonEmpty && regimeMayClear &&
           remaining() - reserve > estimate * 1.5 + 20) {
         Thread.sleep(15000)
         ceil = recordCeiling(forkedCeiling(coresN))
