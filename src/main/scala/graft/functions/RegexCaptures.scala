@@ -37,16 +37,28 @@ case class RegexCaptures(child: Expression, pattern: String)
   @transient private lazy val compiled: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(pattern)
 
+  /** Mandatory-literal guard (null = none derivable): a byte-level
+    * `contains` that rejects most non-matching lines before the regex
+    * engine runs — see [[RegexCaptures.requiredLiteral]]. In a 3-pattern
+    * bank every line pays 2 guaranteed-failing regex evaluations (and an
+    * UNANCHORED failing pattern retries at every line offset); the guard
+    * replaces those with one substring scan. */
+  @transient private lazy val guard: UTF8String =
+    RegexCaptures.requiredLiteral(pattern)
+      .map(UTF8String.fromString).orNull
+
   override def nullSafeEval(input: Any): Any =
-    RegexCaptures.run(compiled, input.asInstanceOf[UTF8String])
+    RegexCaptures.run(compiled, guard, input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val patRef = ctx.addReferenceObj("pattern", compiled,
       classOf[java.util.regex.Pattern].getName)
+    val guardRef = ctx.addReferenceObj("guard", guard,
+      classOf[UTF8String].getName)
     nullSafeCodeGen(ctx, ev, input =>
       s"""
          |${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
-         |  graft.functions.RegexCaptures.run($patRef, $input);
+         |  graft.functions.RegexCaptures.run($patRef, $guardRef, $input);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
   }
@@ -60,6 +72,102 @@ object RegexCaptures {
   /** `regex_captures(line, pattern)` as a Column. */
   def apply(line: Column, pattern: String): Column =
     Bridge.column(RegexCaptures(Bridge.expression(line), pattern))
+
+  /** Longest literal substring that MUST appear in any match of
+    * `pattern` — None when the analysis cannot be sure. Deliberately
+    * conservative: literals are collected only at nesting depth 0
+    * (outside every group and character class), a literal followed by an
+    * optionality quantifier (`?`, `*`, `{`) is dropped, a top-level
+    * alternation or any inline-flag group `(?...)` other than plain
+    * non-capturing `(?:` aborts the analysis entirely (a global `(?i)`
+    * would make literal case non-mandatory), and runs shorter than 3
+    * chars are ignored (not selective enough to pay for the scan).
+    * Under-approximation is always safe: the guard only ever skips the
+    * matcher when the literal is ABSENT, which for a mandatory literal
+    * implies no match. */
+  private[graft] def requiredLiteral(pattern: String): Option[String] = {
+    val runs = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    def endRun(): Unit = { if (cur.nonEmpty) { runs += cur.toString(); cur.clear() } }
+    val n = pattern.length
+    var i = 0
+    var depth = 0
+    def quantAt(j: Int): Boolean =
+      j < n && (pattern(j) == '?' || pattern(j) == '*' ||
+        pattern(j) == '+' || pattern(j) == '{')
+    // skip a quantifier (with optional reluctant/possessive suffix) at j
+    def skipQuant(j0: Int): Int = {
+      var j = j0
+      if (j < n && pattern(j) == '{') {
+        while (j < n && pattern(j) != '}') j += 1
+        if (j < n) j += 1 // past '}'
+      } else if (quantAt(j)) j += 1
+      if (j < n && (pattern(j) == '?' || pattern(j) == '+')) j += 1 // *?, ++, etc.
+      j
+    }
+    // skip a character class starting at '[' (handles leading ^/] and escapes)
+    def skipClass(j0: Int): Int = {
+      var j = j0 + 1
+      if (j < n && pattern(j) == '^') j += 1
+      if (j < n && pattern(j) == ']') j += 1 // literal ] first in class
+      while (j < n && pattern(j) != ']') {
+        if (pattern(j) == '\\') j += 2 else j += 1
+      }
+      if (j >= n) return n + 1 // malformed: force caller to bail
+      j + 1
+    }
+    while (i < n) {
+      val c = pattern(i)
+      if (depth > 0) {
+        // inside a group: count nothing, just track nesting faithfully
+        c match {
+          case '\\' => i += 2
+          case '[' =>
+            i = skipClass(i); if (i > n) return None
+          case '(' =>
+            if (pattern.startsWith("(?", i) && !pattern.startsWith("(?:", i)) return None
+            depth += 1; i += 1
+          case ')' => depth -= 1; i += 1; i = skipQuant(i)
+          case _ => i += 1
+        }
+      } else c match {
+        case '|' => return None // top-level alternation: nothing is mandatory
+        case '(' =>
+          if (pattern.startsWith("(?", i) && !pattern.startsWith("(?:", i)) return None
+          endRun(); depth += 1; i += 1
+        case ')' => return None // unbalanced
+        case '[' =>
+          endRun(); i = skipClass(i); if (i > n) return None
+          i = skipQuant(i)
+        case '.' | '^' | '$' =>
+          endRun(); i += 1; i = skipQuant(i)
+        case '?' | '*' | '+' | '{' =>
+          // quantifier after a group/class/anchor (atoms we never counted)
+          endRun(); i = skipQuant(i)
+        case '\\' =>
+          if (i + 1 >= n) { endRun(); i += 1 }
+          else {
+            val e = pattern(i + 1)
+            if (e.isLetterOrDigit) {
+              // predefined class / anchor / backreference (\d, \b, \1, ...)
+              endRun(); i += 2; i = skipQuant(i)
+            } else if (quantAt(i + 2)) {
+              if (pattern(i + 2) == '+') { cur += e; endRun(); i = skipQuant(i + 2) }
+              else { endRun(); i = skipQuant(i + 2) }
+            } else { cur += e; i += 2 }
+          }
+        case ch =>
+          if (quantAt(i + 1)) {
+            // x+ keeps x (>=1 occurrence, contiguous); x?, x*, x{..} drop it
+            if (pattern(i + 1) == '+') { cur += ch; endRun(); i = skipQuant(i + 1) }
+            else { endRun(); i = skipQuant(i + 1) }
+          } else { cur += ch; i += 1 }
+      }
+    }
+    if (depth != 0) return None
+    endRun()
+    runs.filter(_.length >= 3).sortBy(-_.length).headOption
+  }
 
   /** Zero-copy CharSequence over an ASCII byte array: `charAt` is a
     * plain byte read. Valid ONLY when every byte is < 0x80 (checked by
@@ -94,7 +202,12 @@ object RegexCaptures {
     * Non-ASCII lines fall back to the decoded-String path with
     * char-offset group extraction (byte != char offsets there).
     */
-  def run(pattern: java.util.regex.Pattern, line: UTF8String): GenericArrayData = {
+  def run(pattern: java.util.regex.Pattern, guard: UTF8String,
+      line: UTF8String): GenericArrayData = {
+    // mandatory-literal reject: byte-level contains (UTF-8 is
+    // self-synchronizing, so a byte match IS a char match); absent
+    // literal => the regex cannot match, skip the engine entirely
+    if (guard != null && !line.contains(guard)) return null
     val bytes = line.getBytes
     var ascii = true
     var k = 0

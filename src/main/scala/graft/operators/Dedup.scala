@@ -31,10 +31,16 @@ object Dedup {
     * the caller gets a clear error instead of an analysis failure.) */
   def exact(df: DataFrame, on: Column, keep: Column): DataFrame = {
     val cols = df.columns
+    // also vet the `keep` EXPRESSION's type (round-5 advice: an arbitrary
+    // Column need not appear in df's schema, so the field sweep alone
+    // missed e.g. a map-typed keep)
+    val keepType = df.select(keep).schema.head.dataType
     val unorderable = df.schema.fields.collect {
       case f if !org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
-    }
+    } ++ (if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(keepType)) Nil
+      else Seq(s"<keep expr>: ${keepType.simpleString}"))
     require(unorderable.isEmpty,
       s"Dedup.exact carries every column through a min(struct(...)) aggregate, " +
         s"which needs orderable types; unorderable column(s): ${unorderable.mkString(", ")}. " +

@@ -213,15 +213,27 @@ object LogPipeline {
     * TESTDATA tables, the bench generator) should enable it. Default
     * false: arbitrary int32 vocabularies route unpacked. */
   def parseEnrichRoute(spark: SparkSession, seqs: DataFrame,
-      partitions: Int, packTransport: Boolean = false): DataFrame = {
+      partitions: Int, packTransport: Boolean = false,
+      unpackAfter: Boolean = true): DataFrame = {
     val rendered = renderLines(seqs)
       .select(col("line"), col("tokens").as("tokens_in"))
     val parsed = parse(rendered, carry = Seq("tokens_in"))
     val enriched = enrich(parsed, sourceDim(spark))
-    if (packTransport)
-      salted(enriched.withColumn("tokens_in", graft.functions.PackTokens(col("tokens_in"))),
-          partitions)
-        .withColumn("tokens_in", graft.functions.UnpackTokens(col("tokens_in")))
-    else salted(enriched, partitions)
+    if (packTransport) {
+      val routed = salted(
+        enriched.withColumn("tokens_in", graft.functions.PackTokens(col("tokens_in"))),
+        partitions)
+      // unpackAfter = false keeps `tokens_in` in the uint16 transport
+      // encoding (BinaryType) for consumers that can work in the packed
+      // domain directly — e.g. an integrity check comparing the
+      // transported bytes against a re-packed expectation compares two
+      // byte arrays (one memcmp) instead of paying an unpack allocation
+      // plus an element-wise int-array comparison per row. PackTokens is
+      // injective on the vocab-bounded domain, so packed equality IS
+      // token-array equality.
+      if (unpackAfter)
+        routed.withColumn("tokens_in", graft.functions.UnpackTokens(col("tokens_in")))
+      else routed
+    } else salted(enriched, partitions)
   }
 }

@@ -41,7 +41,14 @@ object PipelineJob {
     if (!Files.exists(doneMarker)) {
       val obsIn = Observation(s"pipeline-in-$snapshotId")
       val seqsObs = seqs.observe(obsIn, count(lit(1)).as("rows_in"))
-      val routed = LogPipeline.parseEnrichRoute(spark, seqsObs, partitions)
+      // packTransport stated explicitly (round-5 advice): the snapshot
+      // job's inputs are NOT contractually vocab-bounded — arbitrary
+      // int32 token ids must route — so it takes the general unpacked
+      // transport deliberately rather than inheriting a default.
+      // Callers whose corpus pins the vocab below 2^16 (the TESTDATA
+      // tables, the bench generator) should run the packed variant.
+      val routed = LogPipeline.parseEnrichRoute(spark, seqsObs, partitions,
+        packTransport = false)
       val obs = Observation(s"pipeline-$snapshotId")
       val observed = routed.observe(obs,
         count(lit(1)).as("rows_routed"),

@@ -47,7 +47,6 @@ object PipelineQueries {
       parsed.select(col("doc_id"), col("sink"), col("source"),
           col("n_tok").cast(LongType).as("n_tok"),
           unix_micros(col("event_ts")).as("ts_us"))
-        .orderBy(col("doc_id"))
     }),
 
     // + broadcast left-outer enrich: per (sink, region) counts; src13 is
@@ -58,7 +57,6 @@ object PipelineQueries {
       LogPipeline.enrich(parsed, LogPipeline.sourceDim(s))
         .groupBy(col("sink"), col("region"))
         .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("sum_tok"))
-        .orderBy(col("sink"), col("region"))
     }),
 
     // full route stage (salted repartition) -> per-sink aggregates:
@@ -71,7 +69,6 @@ object PipelineQueries {
           sum(col("n_tok")).as("sum_tok"),
           (sum(col("n_tok")) / count(lit(1))).cast(LongType).as("avg_tok"),
           countDistinct(col("source")).as("nd_src"))
-        .orderBy(col("sink"))
     }),
 
     // routed-row token-array equality (BASELINE per-row invariant):
@@ -82,16 +79,24 @@ object PipelineQueries {
     // (the previous join-based formulation shuffled BOTH ~2 GB token
     // payloads on doc_id), and it additionally validates that doc_id and
     // n_tok survived the render->regex round trip.
+    // Round 6: the equality runs in the PACKED domain — the transported
+    // uint16 bytes are compared against PackTokens(regenerated tokens),
+    // one binary memcmp per row, instead of unpacking to array<int> and
+    // paying an element-wise comparison (PackTokens is injective on the
+    // vocab-bounded domain, so packed equality IS token equality — see
+    // PipelineSpec "packed-domain token equality"); the transport is
+    // still validated byte-for-byte, and unpack∘pack identity keeps its
+    // own spec + the scaling workload.
     "q_pipe_tokeq" -> ((s, dir) => {
       val seqs = TokenSequences.fromLineitem(s, dir)
-      val routed = LogPipeline.parseEnrichRoute(s, seqs, partitions = 32, packTransport = true)
-      val expect = graft.functions.TokenGen(
-        substring(col("doc_id"), 5, 24).cast(LongType), col("n_tok"))
+      val routed = LogPipeline.parseEnrichRoute(s, seqs, partitions = 32,
+        packTransport = true, unpackAfter = false)
+      val expect = graft.functions.PackTokens(graft.functions.TokenGen(
+        substring(col("doc_id"), 5, 24).cast(LongType), col("n_tok")))
       routed.withColumn("tokens_expect", expect)
         .groupBy(col("sink"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("tokens_in") === col("tokens_expect"), 1L).otherwise(0L)).as("n_eq"))
-        .orderBy(col("sink"))
     })
   )
 

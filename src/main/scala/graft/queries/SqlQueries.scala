@@ -70,7 +70,7 @@ object SqlQueries {
     "q_sql_select" -> ((s, dir) =>
       engine(s).query(
         "SELECT doc, src, n FROM seqlog WHERE n >= 100 AND src != 'web'",
-        lines(s, dir)).orderBy(col("doc"))),
+        lines(s, dir))),
 
     "q_sql_agg" -> ((s, dir) =>
       engine(s).query(
@@ -96,7 +96,6 @@ object SqlQueries {
       engine(s).query(
         "SELECT doc, took::int AS secs, took::real AS secs_r, took::text AS disp " +
           "FROM durlog WHERE took::int >= 43200", durLines)
-        .orderBy(col("doc"))
     }),
 
     // P6 end-to-end: unary minus in projection + filter, NOT around a
@@ -105,7 +104,7 @@ object SqlQueries {
       engine(s).query(
         "SELECT doc, -n AS neg_n, NOT (n >= 256) AS small FROM seqlog " +
           "WHERE NOT (src = 'web') AND -n <= -100",
-        lines(s, dir)).orderBy(col("doc"))),
+        lines(s, dir))),
 
     // make_timestamp (7-arg, reference expression_execution.rs:405-416)
     // + EXTRACT(epoch) + array[...] literal with 1-based postfix index.
@@ -114,14 +113,14 @@ object SqlQueries {
         "SELECT doc, (EXTRACT(epoch FROM make_timestamp(2024, 3, (n % 27) + 1, " +
           "n % 24, n % 60, n % 60, 0)))::int AS ep, " +
           "array[n, n * 2, 7][2] AS n2 FROM seqlog WHERE n < 120",
-        lines(s, dir)).orderBy(col("doc"))),
+        lines(s, dir))),
 
     // A13 quirk 3: aggregate DISTINCT fires only when HAVING is present —
     // 20 source groups collapse to the distinct count-buckets.
     "q_sql_distinct_having" -> ((s, dir) =>
       engine(s).query(
         "SELECT DISTINCT COUNT() / 1000 AS bucket FROM seqlog GROUP BY src HAVING COUNT() > 10",
-        lines(s, dir)).orderBy(col("bucket"))),
+        lines(s, dir))),
 
     // J1/J4/J5: INNER JOIN with qualified names on both sides of ON, in
     // projections, GROUP BY, and a WHERE over a joined column. The join
@@ -141,8 +140,7 @@ object SqlQueries {
       engine(s).query(
         "SELECT doc, src, srcdim3.tier AS tier FROM seqlog " +
           "OUTER JOIN srcdim3 ON seqlog.src = srcdim3.sname WHERE n >= 320",
-        lines(s, dir), joinLines = Some(dimLines(s, allSources.take(3))))
-        .orderBy(col("doc")))
+        lines(s, dir), joinLines = Some(dimLines(s, allSources.take(3)))))
   )
 
   val oracles: Map[String, String] = Map(

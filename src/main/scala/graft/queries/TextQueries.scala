@@ -25,7 +25,6 @@ object TextQueries {
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(docs(s, dir), col("text"), col("doc_id"))
         .select(col("doc_id"), col("source"))
-        .orderBy(col("doc_id"))
     }),
 
     // End-to-end curation: the composed training-data flow — quality
@@ -41,7 +40,6 @@ object TextQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.wsTokenCount(col("text"))).as("sum_tokens"))
-        .orderBy(col("source"))
     }),
 
     // Exact-duplicate audit: distinct text digests per source.
@@ -49,7 +47,6 @@ object TextQueries {
       docs(s, dir).groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(md5(col("text"))).as("n_distinct"))
-        .orderBy(col("source"))
     }),
 
     // n-gram Jaccard near-dup pairs, blocked by source, over the FULL
@@ -63,7 +60,6 @@ object TextQueries {
       Dedup.ngramJaccard(docs(s, dir),
           col("doc_id"), col("text"),
           col("source"), shingleN = 3, threshold = 0.02)
-        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Embedding cosine near-dup pairs within label blocks, full table
@@ -74,7 +70,6 @@ object TextQueries {
           col("vec_id"), col("embedding"),
           col("label"), threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
-        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Brute-force cosine ANN: top-5 neighbors for 5 query vectors.
@@ -85,7 +80,6 @@ object TextQueries {
           e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
           k = 5)
         .select(col("query_id"), col("rank"), col("nn_id"))
-        .orderBy(col("query_id"), col("rank"))
     }),
 
     // Language ID: marker-word heuristic vs the table's lang labels.
@@ -94,7 +88,6 @@ object TextQueries {
         .withColumn("pred", TextAnalysis.langId(col("text")))
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("pred"))
     }),
 
     // Quality scoring signals + composite score.
@@ -105,7 +98,6 @@ object TextQueries {
           round(col("sig.punct_ratio"), 6).as("punct_r"),
           round(col("sig.stopword_ratio"), 6).as("stop_r"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))
     }),
 
     // Token counting: whitespace + BPE-ish regex.
@@ -114,14 +106,12 @@ object TextQueries {
         .select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
           TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))
-        .orderBy(col("doc_id"))
     }),
 
     // Document fingerprinting (bag-of-words md5).
     "q_fingerprint" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.bagOfWordsFingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
     }),
 
     // Multimodal plumbing: binary payload + batched decode stage
@@ -137,7 +127,6 @@ object TextQueries {
       feats.toDF()
         .select(col("media_id"), col("kind"), col("n_bytes").cast(LongType).as("n_bytes"),
           histSum.as("hist_sum"))
-        .orderBy(col("media_id"))
     })
   )
 

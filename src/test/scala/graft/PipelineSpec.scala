@@ -114,6 +114,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packed-domain token equality: binary compare ≡ unpacked array compare") {
+    // Round-6 q_pipe_tokeq optimization: the transported packed bytes are
+    // compared against PackTokens(regenerated) directly. PackTokens is
+    // injective on [0, 65535]^n, so the packed comparison must agree with
+    // the unpacked array comparison on BOTH equal rows and rows with a
+    // planted corruption (one token perturbed).
+    import graft.functions.{PackTokens, UnpackTokens}
+    val routedPacked = LogPipeline.parseEnrichRoute(spark, seqs, partitions = 8,
+      packTransport = true, unpackAfter = false)
+    assert(routedPacked.schema("tokens_in").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // equal case: every routed row's bytes equal the re-packed regeneration
+    val expectP = PackTokens(graft.functions.TokenGen(
+      substring(col("doc_id"), 5, 24).cast("long"), col("n_tok")))
+    val cmp = routedPacked.withColumn("ep", expectP)
+      .withColumn("eq_packed", col("tokens_in") === col("ep"))
+      .withColumn("eq_unpacked", UnpackTokens(col("tokens_in")) === UnpackTokens(col("ep")))
+    assert(cmp.filter(col("eq_packed") =!= col("eq_unpacked")).count() === 0)
+    assert(cmp.filter(!col("eq_packed")).count() === 0)
+    // corrupted case: perturb one token -> both comparisons must flip
+    val corrupt = routedPacked.withColumn("ep", expectP)
+      .withColumn("bad", PackTokens(
+        concat(array((UnpackTokens(col("tokens_in"))(0) + 1) % 65536),
+          slice(UnpackTokens(col("tokens_in")), 2, 1000000))))
+      .withColumn("eq_packed", col("bad") === col("ep"))
+      .withColumn("eq_unpacked", UnpackTokens(col("bad")) === UnpackTokens(col("ep")))
+    assert(corrupt.filter(col("eq_packed") =!= col("eq_unpacked")).count() === 0)
+    assert(corrupt.filter(col("eq_packed")).count() === 0)
+  }
+
   test("snapshot write + commit + time-travel read") {
     val root = Files.createTempDirectory("mtbl").toString
     val manifest = PipelineJob.run(spark, seqs, root, snapshotId = 1L, partitions = 8)
