@@ -99,20 +99,31 @@ object Extractor {
         case Some(d) => coalesce(trimmed, lit(d).cast(c.tpe.spark))
         case None => trimmed
       }
-      c -> withDefault.as(c.name)
+      c -> withDefault // aliased at the final select; raw expr shared with __row_match
     }
 
-    val selected = withCaps.select(
-      (outCols.map(_._2)
-        ++ (if (keepInput) Seq(line.as("input")) else Nil)
-        ++ carry.map(col)): _*)
-
     // Row matches iff ANY extracted column is non-null; NOT NULL columns
-    // veto. This filter may push down to just above the (fenced) pattern
-    // bank, where it references capture-array attributes only — cheap.
-    val anyMatch = table.columns.map(c => col(c.name).isNotNull).reduce(_ || _)
-    val vetoes = table.columns.filter(_.notNull).map(c => col(c.name).isNotNull)
-    selected.filter(vetoes.foldLeft(anyMatch)(_ && _))
+    // veto. The predicate is emitted as a FENCED extra column of the SAME
+    // projection (round 6): expressed as a separate filter it was pushed
+    // into the extraction Project, re-inlining every column's extraction
+    // expression into the Filter condition — doubling the generated code
+    // of the fused stage, which (together with the generator chain) blew
+    // the JVM's 8 KB JIT method limit and dropped the whole map stage to
+    // the bytecode interpreter. Inside one Project, codegen
+    // subexpression elimination evaluates each extracted column ONCE and
+    // hoists the shared subtrees into their own (JIT-compilable)
+    // methods; the fence keeps PushPredicateThroughNonJoin from
+    // substituting the predicate back through the projection.
+    val anyMatch = outCols.map(_._2.isNotNull).reduce(_ || _)
+    val vetoes = outCols.collect { case (c, e) if c.notNull => e.isNotNull }
+    val rowMatch = graft.functions.OptimizerFence(
+      vetoes.foldLeft(anyMatch)(_ && _))
+    val selected = withCaps.select(
+      (outCols.map { case (c, e) => e.as(c.name) }
+        ++ (if (keepInput) Seq(line.as("input")) else Nil)
+        ++ carry.map(col)
+        :+ rowMatch.as("__row_match")): _*)
+    selected.filter(col("__row_match")).drop("__row_match")
   }
 
   private def patternNames(s: ColumnSource): Seq[String] = s match {

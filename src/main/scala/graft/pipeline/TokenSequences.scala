@@ -28,8 +28,31 @@ object TokenSequences {
     * `seqId` column. The first mixing step reduces seqId mod 2^31 before
     * multiplying so the chain never overflows i64 for ANY 63-bit seqId —
     * required because [[fromLineitem]] derives ids arithmetically (up to
-    * ~2^53) and DuckDB errors (rather than wraps) on BIGINT overflow. */
+    * ~2^53) and DuckDB errors (rather than wraps) on BIGINT overflow.
+    *
+    * Since round 6 the whole tuple is ONE codegen'd
+    * [[graft.functions.SeqMeta]] call (bit-identical math,
+    * spec-asserted): the previous per-column arithmetic re-inlined the
+    * LCG chain into every consumer after CollapseProject and pushed the
+    * fused map-stage method over the JVM's 8 KB JIT compile limit — the
+    * whole generate→render→parse stage ran INTERPRETED (see SeqMeta's
+    * scaladoc for the measurements). The five GetStructField readers
+    * below collapse to a single evaluation per row via codegen
+    * subexpression elimination. */
   def withSequenceColumns(df: DataFrame, seqId: Column,
+      maxTok: Int = MaxTok): DataFrame = {
+    val meta = graft.functions.SeqMeta(seqId, maxTok)
+    df.withColumn("doc_id", meta.getField("doc_id"))
+      .withColumn("n_tok", meta.getField("n_tok"))
+      .withColumn("tokens", meta.getField("tokens"))
+      .withColumn("source", meta.getField("source"))
+      .withColumn("__r3", meta.getField("r3")) // routing entropy, dropped by callers
+  }
+
+  /** The pre-round-6 declarative formulation, kept as the parity oracle
+    * for [[graft.functions.SeqMeta]] (PipelineSpec asserts field-level
+    * equality across a range of seqIds incl. the arithmetic-id extremes). */
+  private[graft] def withSequenceColumnsDeclarative(df: DataFrame, seqId: Column,
       maxTok: Int = MaxTok): DataFrame = {
     val s = ((seqId % M) * 131071L + 524287L) % M
     val r1 = lcg(s)
@@ -41,15 +64,12 @@ object TokenSequences {
       .when(r2 % 100 < 62, lit("books"))
       .when(r2 % 100 < 72, lit("code"))
       .otherwise(concat(lit("src"), (r2 % 17).cast(StringType)))
-    // token arrays via the codegen'd TokenGen expression — identical math
-    // to the DuckDB oracle CTE below; see TokenGen's scaladoc for why a
-    // transform(sequence(...)) HOF formulation is 'correct but unscalable'
     val tokens = graft.functions.TokenGen(seqId, nTok)
     df.withColumn("doc_id", graft.functions.DocId(seqId))
       .withColumn("n_tok", nTok)
       .withColumn("tokens", tokens)
       .withColumn("source", source)
-      .withColumn("__r3", r3) // routing entropy, dropped by callers
+      .withColumn("__r3", r3)
   }
 
   /** Oracle-able variant: sequences derived 1:1 from `lineitem` rows so

@@ -27,6 +27,34 @@ class PipelineSpec extends SparkSpec {
     assert(webShare > 0.35 && webShare < 0.55, s"web share $webShare (expected hot ~0.45)")
   }
 
+  test("SeqMeta codegen is field-identical to the declarative Column chain") {
+    // Round-6: generation collapsed into one struct-returning codegen
+    // call (the per-column arithmetic inflated the fused map-stage
+    // method past the JIT compile limit). Must agree field-for-field
+    // with the old formulation, including arithmetic-id extremes near
+    // fromLineitem's key-bound envelope and the maxTok cap.
+    val extremes = Seq(0L, 1L, 2147483647L, 2147483648L, 4294967296L,
+      (268435455L * 34359738368L) + (7L * 4294967296L) + (262143L * 16384L) + 16383L)
+    val ids = spark.range(0, 3000).select(col("id").as("seq_id"))
+      .union(extremes.toDF("seq_id"))
+    for (cap <- Seq(TokenSequences.MaxTok, 64)) {
+      val a = TokenSequences.withSequenceColumns(ids, col("seq_id"), cap)
+        .orderBy(col("seq_id")).collect()
+      val b = graft.pipeline.TokenSequences
+        .withSequenceColumnsDeclarative(ids, col("seq_id"), cap)
+        .orderBy(col("seq_id")).collect()
+      assert(a.length === b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.getAs[String]("doc_id") === y.getAs[String]("doc_id"))
+        assert(x.getAs[Int]("n_tok") === y.getAs[Int]("n_tok"))
+        assert(x.getSeq[Int](x.fieldIndex("tokens")).toSeq ===
+          y.getSeq[Int](y.fieldIndex("tokens")).toSeq)
+        assert(x.getAs[String]("source") === y.getAs[String]("source"))
+        assert(x.getAs[Long]("__r3") === y.getAs[Long]("__r3"))
+      }
+    }
+  }
+
   test("RenderLine codegen is byte-identical to the format_string chain it replaced") {
     // 5k rows cover all three line classes (audit ~2.7%, bulk, ingest),
     // 1-vs-2-digit days/nodes, and zero-padded time fields
