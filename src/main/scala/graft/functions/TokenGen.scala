@@ -34,6 +34,36 @@ case class TokenGen(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** `token_gen_packed(seqId, nTok)` — the SAME token chain as [[TokenGen]]
+  * emitted directly in the uint16 transport encoding of
+  * [[PackTokens]] (little-endian, byte-identical to
+  * `pack_tokens(token_gen(seqId, nTok))`, spec-asserted). Exists for
+  * integrity checks that compare against the packed transport: the
+  * two-step form allocates and round-trips a ~2 KB int array per row
+  * that the fused form never materializes (valid because the generator's
+  * vocab 50257 < 2^16 by construction). */
+case class TokenGenPacked(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "token_gen_packed"
+
+  override def nullSafeEval(seqId: Any, nTok: Any): Any =
+    TokenGen.computePacked(seqId.asInstanceOf[Long], nTok.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seqId, nTok) =>
+      s"${ev.value} = graft.functions.TokenGen.computePacked($seqId, $nTok);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenGenPacked {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(seqId: Column, nTok: Column): Column =
+    Bridge.column(TokenGenPacked(Bridge.expression(seqId), Bridge.expression(nTok)))
+}
+
 object TokenGen {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -59,5 +89,23 @@ object TokenGen {
       j += 1
     }
     new IntArrayData(out) // zero-copy view; see PrimitiveArrayData
+  }
+
+  /** [[compute]]'s chain written straight into the [[PackTokens]] uint16
+    * little-endian encoding — one 2-byte write per token, no int array. */
+  def computePacked(seqId: Long, nTok: Int): Array[Byte] = {
+    val s = ((seqId % M) * 131071L + 524287L) % M
+    val n = if (nTok < 0) 0 else nTok
+    val out = new Array[Byte](n * 2)
+    var j = 1
+    while (j <= n) {
+      val u = (s + j * 48271L) % M
+      val v = u ^ (u >>> 15)
+      val t = (((v * A + C) % M) % Vocab).toInt
+      out((j - 1) * 2) = t.toByte
+      out((j - 1) * 2 + 1) = (t >>> 8).toByte
+      j += 1
+    }
+    out
   }
 }

@@ -32,10 +32,14 @@ object PipelineQueries {
     // and a delimited string is exactly as strong a per-row equality.
     // No orderBy: the driver's checker sorts rows itself, and a global
     // sort of 600k ~3KB rendered rows is pure overhead at bench time.
+    // tokens_csv via the codegen JoinInts digit-writer (round 6):
+    // byte-identical to concat_ws(",", tokens) — spec-asserted — without
+    // the per-element UTF8String allocation of the implicit
+    // array<int> -> array<string> cast (~500 strings/row).
     "q_pipe_tokens" -> ((s, dir) => {
       TokenSequences.fromLineitem(s, dir)
         .select(col("doc_id"), col("n_tok"), col("source"),
-          concat_ws(",", col("tokens")).as("tokens_csv"))
+          graft.functions.JoinInts(col("tokens")).as("tokens_csv"))
     }),
 
     // render -> regex parse: typed fields + matched-pattern routing key +
@@ -91,8 +95,8 @@ object PipelineQueries {
       val seqs = TokenSequences.fromLineitem(s, dir)
       val routed = LogPipeline.parseEnrichRoute(s, seqs, partitions = 32,
         packTransport = true, unpackAfter = false)
-      val expect = graft.functions.PackTokens(graft.functions.TokenGen(
-        substring(col("doc_id"), 5, 24).cast(LongType), col("n_tok")))
+      val expect = graft.functions.TokenGenPacked(
+        substring(col("doc_id"), 5, 24).cast(LongType), col("n_tok"))
       routed.withColumn("tokens_expect", expect)
         .groupBy(col("sink"))
         .agg(count(lit(1)).as("n"),

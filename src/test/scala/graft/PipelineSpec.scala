@@ -172,6 +172,35 @@ class PipelineSpec extends SparkSpec {
     assert(corrupt.filter(col("eq_packed")).count() === 0)
   }
 
+  test("JoinInts is byte-identical to concat_ws over int arrays") {
+    import graft.functions.JoinInts
+    // generated token arrays + adversarial literals (empty, nulls inside,
+    // null array, negatives, Int.MinValue)
+    val gen = seqs.select(
+      JoinInts(col("tokens")).as("a"),
+      concat_ws(",", col("tokens")).as("b"))
+    assert(gen.filter(col("a") =!= col("b")).count() === 0)
+    val lits = Seq(
+      Seq(1, 2, 3), Seq(), Seq(0), Seq(-5, 7), Seq(Int.MinValue, Int.MaxValue))
+      .toDF("xs")
+      .union(Seq.empty[Seq[Int]].toDF("xs"))
+      .union(spark.sql("SELECT array(1, NULL, 3) AS xs"))
+      .union(spark.sql("SELECT CAST(NULL AS array<int>) AS xs"))
+    val cmp = lits.select(JoinInts(col("xs")).as("a"),
+      concat_ws(",", col("xs")).as("b"))
+    cmp.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("TokenGenPacked is byte-identical to pack_tokens(token_gen(...))") {
+    import graft.functions.{PackTokens, TokenGenPacked}
+    val both = seqs.limit(2000).select(
+      TokenGenPacked(substring(col("doc_id"), 5, 24).cast("long"), col("n_tok")).as("a"),
+      PackTokens(graft.functions.TokenGen(
+        substring(col("doc_id"), 5, 24).cast("long"), col("n_tok"))).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() === 0)
+    assert(both.count() === 2000)
+  }
+
   test("snapshot write + commit + time-travel read") {
     val root = Files.createTempDirectory("mtbl").toString
     val manifest = PipelineJob.run(spark, seqs, root, snapshotId = 1L, partitions = 8)
