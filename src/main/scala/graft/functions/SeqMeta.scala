@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** The whole sequence-metadata tuple
-  * `(doc_id, n_tok, tokens, source, r3)` of the deterministic generator
+/** The scalar sequence-metadata tuple
+  * `(doc_id, n_tok, source, r3)` of the deterministic generator
   * ([[graft.pipeline.TokenSequences]]) as ONE codegen'd expression —
   * bit-identical to the Column-arithmetic formulation it replaces (same
   * Java `%` remainder semantics, same LCG chain, same `TokenGen` /
@@ -27,6 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * One struct-returning call keeps the generated method small — the
   * chain lives here in compiled Scala, evaluated once per row via
   * codegen subexpression elimination over the `GetStructField` readers.
+  *
+  * The token ARRAY deliberately stays OUT of the struct (a separate
+  * [[TokenGen]] column): Catalyst prunes whole columns but not struct
+  * fields of an opaque expression, so bundling tokens here would make
+  * every consumer that only needs the scalars (the SQL-path gates, the
+  * route aggregates) regenerate a ~500-element array per row that the
+  * plan then throws away.
   */
 case class SeqMeta(child: Expression, maxTok: Int) extends UnaryExpression {
   override def dataType: DataType = SeqMeta.schema
@@ -52,7 +59,6 @@ object SeqMeta {
   val schema: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
     StructField("n_tok", IntegerType, nullable = false),
-    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("source", StringType, nullable = false),
     StructField("r3", LongType, nullable = false)))
 
@@ -88,7 +94,6 @@ object SeqMeta {
         // negative chain falls back to the same string construction
         if (i >= 0) Srcs(i.toInt) else UTF8String.fromString("src" + i)
       }
-    new GenericInternalRow(Array[Any](
-      DocId.compute(seqId), nTok, TokenGen.compute(seqId, nTok), source, r3))
+    new GenericInternalRow(Array[Any](DocId.compute(seqId), nTok, source, r3))
   }
 }

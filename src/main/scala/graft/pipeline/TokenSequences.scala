@@ -42,9 +42,13 @@ object TokenSequences {
   def withSequenceColumns(df: DataFrame, seqId: Column,
       maxTok: Int = MaxTok): DataFrame = {
     val meta = graft.functions.SeqMeta(seqId, maxTok)
+    // tokens stay a SEPARATE TokenGen column (not a SeqMeta field):
+    // Catalyst prunes whole columns but not struct fields of an opaque
+    // expression, and the SQL-path / route-aggregate gates never read
+    // tokens — bundled, they would pay a ~500-element array per row.
     df.withColumn("doc_id", meta.getField("doc_id"))
       .withColumn("n_tok", meta.getField("n_tok"))
-      .withColumn("tokens", meta.getField("tokens"))
+      .withColumn("tokens", graft.functions.TokenGen(seqId, meta.getField("n_tok")))
       .withColumn("source", meta.getField("source"))
       .withColumn("__r3", meta.getField("r3")) // routing entropy, dropped by callers
   }

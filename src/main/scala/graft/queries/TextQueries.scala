@@ -31,11 +31,19 @@ object TextQueries {
     // gate + language filter + exact dedup + per-source accounting — in
     // ONE plan: scan -> shuffle-free scoring/filter (codegen WordCounts)
     // -> single digest shuffle (dedup survivor) -> 2-phase hash agg.
+    // The quality/language gate is a FENCED predicate column evaluated
+    // in the projection, not a raw filter (round 6): pushdown inlined
+    // qualityScore+langId into a FilterExec, which does NO
+    // subexpression elimination — the shared WordCounts marker scan ran
+    // ~20x per row there. As a Project column the repeated subtrees
+    // collapse to one evaluation, and the curation columns never enter
+    // the dedup survivor struct.
     "q_curate" -> ((s, dir) => {
+      val keep = graft.functions.OptimizerFence(
+        TextAnalysis.qualityScore(col("text")) >= 0.5 &&
+          TextAnalysis.langId(col("text")) === "en")
       val d = docs(s, dir)
-        .withColumn("q", TextAnalysis.qualityScore(col("text")))
-        .withColumn("pred", TextAnalysis.langId(col("text")))
-        .filter(col("q") >= 0.5 && col("pred") === "en")
+        .withColumn("__keep", keep).filter(col("__keep")).drop("__keep")
       Dedup.exact(d, col("text"), col("doc_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
