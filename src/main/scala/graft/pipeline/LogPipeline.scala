@@ -215,14 +215,22 @@ object LogPipeline {
   def parseEnrichRoute(spark: SparkSession, seqs: DataFrame,
       partitions: Int, packTransport: Boolean = false,
       unpackAfter: Boolean = true): DataFrame = {
-    val rendered = renderLines(seqs)
-      .select(col("line"), col("tokens").as("tokens_in"))
+    graft.functions.FusePackedTokenGen.register(spark)
+    // packTransport packs AT THE RENDER SELECT (round 6), not just below
+    // the route exchange: the pack then composes directly over the
+    // generator expression in the collapsed projection, where
+    // [[graft.functions.FusePackedTokenGen]] rewrites
+    // pack_tokens(token_gen(..)) into the fused token_gen_packed — the
+    // ~2 KB int-array intermediate per row is never materialized on the
+    // map side. Packed-vs-exchange placement is unchanged (pack below,
+    // unpack above; PlanQualitySpec).
+    val rendered = renderLines(seqs).select(col("line"),
+      (if (packTransport) graft.functions.PackTokens(col("tokens"))
+       else col("tokens")).as("tokens_in"))
     val parsed = parse(rendered, carry = Seq("tokens_in"))
     val enriched = enrich(parsed, sourceDim(spark))
     if (packTransport) {
-      val routed = salted(
-        enriched.withColumn("tokens_in", graft.functions.PackTokens(col("tokens_in"))),
-        partitions)
+      val routed = salted(enriched, partitions)
       // unpackAfter = false keeps `tokens_in` in the uint16 transport
       // encoding (BinaryType) for consumers that can work in the packed
       // domain directly — e.g. an integrity check comparing the

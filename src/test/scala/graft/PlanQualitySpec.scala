@@ -67,12 +67,21 @@ class PlanQualitySpec extends SparkSpec {
     val plan = executedPlan(LogPipeline.parseEnrichRoute(spark, seqs, 4, packTransport = true))
     val iUnpack = plan.indexOf("unpack_tokens")
     val iExchange = plan.indexOf("Exchange")
-    // negative lookbehind: "pack_tokens(" is a substring of "unpack_tokens("
-    val iPack = "(?<!un)pack_tokens\\(".r.findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    // the pack side is either pack_tokens(...) over an arbitrary input
+    // column, or (round 6) the fused token_gen_packed when the column IS
+    // the generator — FusePackedTokenGen removes the int-array
+    // intermediate. Negative lookbehind: "pack_tokens(" is a substring
+    // of "unpack_tokens(".
+    val iPack = "(?<!un)pack_tokens\\(|token_gen_packed\\(".r
+      .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
     assert(iUnpack >= 0 && iExchange >= 0 && iPack >= 0,
       s"pack/unpack/exchange missing from route plan:\n$plan")
     assert(iUnpack < iExchange && iExchange < iPack,
       s"pack/unpack collapsed across the exchange:\n$plan")
+    // the synthetic seqs' tokens ARE the generator, so the fusion must
+    // actually have fired here
+    assert(plan.contains("token_gen_packed"),
+      s"FusePackedTokenGen did not fire on the generator input:\n$plan")
   }
 
   test("parse -> aggregate stays inside whole-stage codegen (no fallback)") {
