@@ -86,13 +86,18 @@ object SqlQueries {
     // compared and cast (::int whole seconds, ::real ms-resolution
     // fractional seconds, ::text HH:MM:SS.mmm Display) — the oracle
     // recomputes all three arithmetically from the generating model.
+    // Line synthesis via concat + lpad (round 6): byte-identical to the
+    // previous format_string for these non-negative fields, without the
+    // per-row java.util.Formatter + boxed-argument allocation.
     "q_sql_interval" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.LongType
       val seqs = TokenSequences.fromLineitem(s, dir)
-      val durLines = seqs.select(format_string("dur %s took %02d:%02d:%02d",
-        col("doc_id"), col("n_tok") % 24, col("__r3") % 60,
-        (col("__r3") / 60).cast(LongType) % 60).as("line"))
+      def p2(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 2, "0")
+      val durLines = seqs.select(concat(
+        lit("dur "), col("doc_id"), lit(" took "),
+        p2(col("n_tok") % 24), lit(":"), p2(col("__r3") % 60), lit(":"),
+        p2((col("__r3") / 60).cast(LongType) % 60)).as("line"))
       engine(s).query(
         "SELECT doc, took::int AS secs, took::real AS secs_r, took::text AS disp " +
           "FROM durlog WHERE took::int >= 43200", durLines)
