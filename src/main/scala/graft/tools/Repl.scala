@@ -42,6 +42,18 @@ import graft.streaming.FollowStream
   */
 object Repl {
 
+  /** Console print of a single-string-column sink frame: one partition
+    * resident on the driver at a time (`toLocalIterator`), not a full
+    * `collect()` — an unbounded SELECT streams like the reference's
+    * row-by-row printer instead of materializing the entire result in
+    * driver memory (round-5 verdict finding #2). Output order is
+    * identical to collect (partition order, rows in order within each
+    * partition; ReplStreamSpec pins the parity). */
+  private[graft] def printRows(rendered: DataFrame): Unit = {
+    val it = rendered.toLocalIterator()
+    while (it.hasNext) println(it.next().getString(0))
+  }
+
   private[tools] final case class Args(
       inputs: Vector[String] = Vector.empty,
       ddlFile: Option[String] = None,
@@ -215,16 +227,7 @@ object Repl {
         spark.read.text(args.inputs: _*).cache()
       }
 
-    /** Console print: one partition resident on the driver at a time
-      * (`toLocalIterator`), not a full `collect()` — an unbounded SELECT
-      * streams like the reference's row-by-row printer instead of
-      * materializing the entire result in driver memory (round-5 verdict
-      * finding #2). Output order is identical to collect (partition
-      * order, rows in order within each partition). */
-    def printSink(df: DataFrame): Unit = {
-      val it = sink(df, args.format).toLocalIterator()
-      while (it.hasNext) println(it.next().getString(0))
-    }
+    def printSink(df: DataFrame): Unit = Repl.printRows(sink(df, args.format))
 
     def runStatements(input: String): Unit = {
       if (args.follow) runFollow(input)
