@@ -84,6 +84,23 @@ class PlanQualitySpec extends SparkSpec {
       s"FusePackedTokenGen did not fire on the generator input:\n$plan")
   }
 
+  test("parse row-match runs as a fenced projection column, not a pushed filter") {
+    // Round-6 JIT-limit fix regression guard: expressed as a plain
+    // filter, the row-match predicate is pushed into the extraction
+    // Project, re-inlining every extraction expression into a
+    // FilterExec (no subexpression elimination there) and growing the
+    // fused method past the JVM's 8 KB compile limit — the whole map
+    // stage then runs interpreted. The plan must keep the fenced
+    // __row_match column with the Filter referencing the ATTRIBUTE.
+    val seqs = TokenSequences.synthetic(spark, 100L, 2)
+    val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
+    val plan = parsed.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("__row_match"), s"fenced row-match column missing:\n$plan")
+    val filterLine = plan.linesIterator.find(_.contains("Filter")).getOrElse("")
+    assert(filterLine.contains("__row_match") && !filterLine.contains("element_at"),
+      s"row-match filter re-inlined extraction expressions:\n$filterLine")
+  }
+
   test("parse -> aggregate stays inside whole-stage codegen (no fallback)") {
     val seqs = TokenSequences.synthetic(spark, 100L, 2)
     val parsed = LogPipeline.parse(LogPipeline.renderLines(seqs).select(col("line")))
